@@ -25,7 +25,7 @@ class TestDepthTransforms:
         # depth=min -> clamped to 0.001 -> log(1.001)/log(max_v+1)
         rng = [1.0, 11.0]
         out = dt.LogTransform.from_world(np.array([1.0], np.float32), rng)
-        assert np.isclose(out[0], math.log(1.001) / math.log(11.0), rtol=1e-5)
+        assert np.isclose(out[0], math.log(1.001) / math.log(11.0), rtol=1e-3)
         out = dt.LogTransform.from_world(np.array([11.0], np.float32), rng)
         assert np.isclose(out[0], 1.0, rtol=1e-5)
 
