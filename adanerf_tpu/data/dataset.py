@@ -1,0 +1,273 @@
+"""DONeRF-format view-cell datasets.
+
+Reference semantics: ``src/datasets.py``. A scene directory holds
+``dataset_info.json`` (view cell, resolution, fov, depth ranges),
+``transforms_{train,val,test}.json`` (poses) and per-frame ``*.png`` (+
+optional ``*_depth.npz``).
+
+TPU-first data design: instead of 8 torch DataLoader workers feeding small
+batches over PCIe, the whole split is loaded once into host RAM (images as
+uint8), shipped to device HBM once, and per-epoch batches are *gathered on
+device* from tiny host-provided index arrays — the training loop's host side
+only produces (image_indices, pixel_offsets) scalars per step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..ops import depth_transforms as depth_transforms_mod
+from ..ops.raygen import generate_ray_directions
+from ..pipeline.features import SceneStatic
+from ..pipeline.keys import DatasetKeys
+
+
+class View:
+    def __init__(self):
+        self.fov = 0.0
+        self.focal = 0.0
+        self.camera_scale = 1.0
+        self.view_cell_center = [0, 0, 0]
+        self.view_cell_size = [0, 0, 0]
+        self.base_rotation = None
+
+
+class DatasetInfo:
+    """Scene metadata from dataset_info.json (datasets.py:146-213)."""
+
+    def __init__(self, config, in_feature_names: Optional[List[str]] = None):
+        self.config = config
+        self.dataset_path = config.data
+        self.view = View()
+        self.scale = config.scale
+
+        in_feature_names = in_feature_names or list(config.inFeatures)
+        self.use_warped_depth_range = []
+        warped = False
+        for name in in_feature_names:
+            warped = warped or name == "SpherePosDir"
+            self.use_warped_depth_range.append(warped)
+
+        with open(os.path.join(self.dataset_path, "dataset_info.json")) as f:
+            info = json.load(f)
+        self.view.view_cell_center = info["view_cell_center"]
+        self.view.view_cell_size = info["view_cell_size"]
+        self.view.camera_scale = float(info.get("camera_scale", 1.0))
+        if "camera_base_orientation" in info:
+            self.view.base_rotation = np.array(info["camera_base_orientation"])
+
+        self.w, self.h = info["resolution"][0], info["resolution"][1]
+        if self.scale > 1:
+            self.w //= self.scale
+            self.h //= self.scale
+
+        self.view.fov = float(info["camera_angle_x"])
+        self.view.focal = float(0.5 * self.w / np.tan(0.5 * self.view.fov))
+        self.flip_depth = info.get("flip_depth", False)
+        self.depth_distance_adjustment = info.get("depth_distance_adjustment", False)
+
+        required = ("depth_ignore", "depth_range", "depth_range_warped_log",
+                    "depth_range_warped_lin")
+        if any(k not in info for k in required):
+            raise ValueError("necessary depth range information not found in "
+                             "'dataset_info.json' — run prepare_dataset.py")
+
+        self.depth_ignore = float(info["depth_ignore"])
+        self.depth_range = [float(info["depth_range"][0]), float(info["depth_range"][1])]
+        self.depth_max = self.depth_range[1]
+
+        if config.depthTransform == "linear":
+            self.depth_transform = depth_transforms_mod.LinearTransform
+            self.depth_range_warped = [float(info["depth_range_warped_lin"][0]),
+                                       float(info["depth_range_warped_lin"][1])]
+        elif config.depthTransform == "log":
+            self.depth_transform = depth_transforms_mod.LogTransform
+            self.depth_range_warped = [float(info["depth_range_warped_log"][0]),
+                                       float(info["depth_range_warped_log"][1])]
+        else:
+            self.depth_transform = depth_transforms_mod.NoneTransform
+            self.depth_range_warped = [0, 1]
+            self.depth_range = [0, 1]
+
+    def scene_static(self) -> SceneStatic:
+        return SceneStatic(
+            w=self.w, h=self.h, fov=self.view.fov, focal=self.view.focal,
+            view_cell_center=tuple(float(c) for c in self.view.view_cell_center),
+            view_cell_radius=float(np.linalg.norm(
+                np.array(self.view.view_cell_size) / 2.0)),
+            depth_range=tuple(self.depth_range),
+            depth_range_warped=tuple(self.depth_range_warped),
+            depth_transform=self.depth_transform,
+            depth_max=self.depth_max,
+        )
+
+
+def _scale_image(image: np.ndarray, scale: int) -> np.ndarray:
+    import cv2
+    return cv2.resize(image, (image.shape[1] // scale, image.shape[0] // scale),
+                      interpolation=cv2.INTER_AREA)
+
+
+class ViewCellDataset:
+    """One split of a view-cell scene fully loaded to host RAM
+    (reference: FullyLoadedViewCellDataset, datasets.py:480-630, minus torch).
+
+    Attributes:
+      color_images: (N, h, w, 3) float32 in [0,1]
+      depth_images: (N, h, w, 1) float32 normalized, or None
+      poses: (N, 3); rotations: (N, 3, 3); directions: (h*w, 3)
+    """
+
+    def __init__(self, config, dataset_info: DatasetInfo, set_name="train",
+                 num_samples=2048, load_images=True):
+        self.config = config
+        self.info = dataset_info
+        self.set_name = set_name
+        self.num_samples = num_samples
+        self.dataset_path = config.data
+        self.scale = dataset_info.scale
+        self.w, self.h = dataset_info.w, dataset_info.h
+        self.depth_ignore = dataset_info.depth_ignore
+        self.depth_range = dataset_info.depth_range
+        self.depth_transform = dataset_info.depth_transform
+        self.flip_depth = dataset_info.flip_depth
+        self.depth_distance_adjustment = dataset_info.depth_distance_adjustment
+        self.load_depth = config.trainWithGTDepth or config.useNerfDepthMap
+        self.full_images = set_name in ("test", "vid")
+        self.is_inference = set_name == "vid"
+        self.image_filenames: List[str] = []
+
+        self.base_ray_z = np.abs(generate_ray_directions(
+            self.w, self.h, dataset_info.view.fov,
+            dataset_info.view.focal)[:, :, 2]).astype(np.float32)
+
+        with open(os.path.join(self.dataset_path,
+                               f"transforms_{set_name}.json")) as f:
+            jd = json.load(f)
+
+        frames = jd["frames"]
+        self.num_items = len(frames)
+        transforms = np.zeros((self.num_items, 4, 4), np.float32)
+        color_images = None
+        depth_images = None
+
+        for i, frame in enumerate(frames):
+            pose = np.array(frame["transform_matrix"], np.float32)
+            transforms[i, :pose.shape[0], :pose.shape[1]] = pose
+            file_path = os.path.join(self.dataset_path, frame["file_path"][2:])
+            file_name = file_path + ".png"
+            self.image_filenames.append(file_name)
+            if not load_images:
+                continue
+            img = self.load_color_image(file_name)
+            if color_images is None:
+                color_images = np.zeros((self.num_items,) + img.shape, np.float32)
+            color_images[i] = img
+            if self.load_depth:
+                depth_name = file_path + "_depth.npz"
+                if os.path.exists(depth_name):
+                    d = self.load_depth_image(depth_name)
+                    if depth_images is None:
+                        depth_images = np.zeros(
+                            (self.num_items, d.shape[1], d.shape[2], 1), np.float32)
+                    depth_images[i] = d[0]
+
+        self.color_images = color_images
+        self.depth_images = depth_images
+        self.poses = transforms[:, :3, 3].copy()
+        self.rotations = transforms[:, :3, :3].copy()
+        self.directions = generate_ray_directions(
+            self.w, self.h, dataset_info.view.fov,
+            dataset_info.view.focal).reshape(-1, 3).astype(np.float32)
+
+    def __len__(self):
+        return self.num_items
+
+    def load_color_image(self, file_name: str) -> np.ndarray:
+        import imageio.v2 as imageio
+        img = imageio.imread(file_name).astype(np.float32)
+        if self.scale > 1:
+            img = _scale_image(img, self.scale)
+        if img.shape[0] != self.h or img.shape[1] != self.w:
+            raise ValueError(
+                f"loaded image size mismatch: expected {self.w}x{self.h}, got "
+                f"{img.shape[1]}x{img.shape[0]}")
+        return (img / 255.0)[:, :, :3]
+
+    def transform_depth_image(self, depth_image: np.ndarray,
+                              do_not_transform=False) -> np.ndarray:
+        """Normalize a raw world-depth map (datasets.py:289-331): median
+        downscale, depth-ignore masking, distance adjustment, depth-transform
+        warp into [0,1]."""
+        depth_image = depth_image.astype(np.float32)
+        depth_image = np.resize(depth_image, (self.h * self.scale, self.w * self.scale))
+        if self.flip_depth and not do_not_transform:
+            depth_image = np.flip(depth_image, 0)
+
+        depth_only_max = depth_image.copy()
+        depth_only_max[depth_only_max != self.depth_ignore] = 0
+        depth_only_max = _scale_image(depth_only_max, self.scale) \
+            if self.scale > 1 else depth_only_max
+
+        if self.scale > 1:
+            interp = self.config.scaleInterpolation
+            if interp == "area":
+                depth_image = _scale_image(depth_image, self.scale)
+            elif interp == "median":
+                stacked = [depth_image[i::self.scale, j::self.scale]
+                           for i in range(self.scale) for j in range(self.scale)]
+                depth_sorted = np.sort(np.dstack(stacked), -1)
+                depth_image = depth_sorted[:, :, self.scale - 1]
+            else:  # leaveOut
+                depth_image = depth_image[0::self.scale, 0::self.scale]
+
+        depth_image[depth_only_max != 0] = self.depth_ignore
+        if do_not_transform:
+            return depth_image.reshape(1, self.h, self.w, 1)
+
+        if self.depth_distance_adjustment:
+            depth_image = depth_image / self.base_ray_z
+
+        depth_image = (depth_image - self.depth_range[0]) / \
+            (self.depth_range[1] - self.depth_range[0])
+        depth_image = self.depth_transform.from_world(
+            depth_transforms_mod.LinearTransform.to_world(depth_image, self.depth_range),
+            self.depth_range)
+        depth_image = np.asarray(depth_image)
+        depth_image[depth_only_max != 0] = 1.0
+        return depth_image.reshape(1, self.h, self.w, 1)
+
+    def load_depth_image(self, file_name: str) -> np.ndarray:
+        np_file = np.load(file_name)
+        depth = np_file["depth"] if "depth" in np_file.files else np_file[np_file.files[0]]
+        return self.transform_depth_image(depth)
+
+    def image_batch(self, index: int, sample_indices: np.ndarray) -> Dict:
+        """Build a host-side DatasetKeys dict for one image + pixel subset."""
+        data = {
+            DatasetKeys.image_pose: self.poses[index][None],
+            DatasetKeys.image_rotation: self.rotations[index][None],
+            DatasetKeys.ray_directions_samples: self.directions[sample_indices][None],
+            DatasetKeys.image_sample_indices: sample_indices,
+        }
+        if self.color_images is not None:
+            data[DatasetKeys.color_image_full] = self.color_images[index]
+        if self.depth_images is not None:
+            d = self.depth_images[index].reshape(-1, 1)
+            data[DatasetKeys.depth_image_samples] = d[sample_indices]
+            data[DatasetKeys.depth_image_full] = self.depth_images[index][None]
+        return data
+
+    def full_image_indices(self) -> np.ndarray:
+        return np.arange(self.w * self.h, dtype=np.int64)
+
+
+def load_dataset_split(config, dataset_info, set_name, num_samples=2048,
+                       load_images=True):
+    return ViewCellDataset(config, dataset_info, set_name, num_samples,
+                           load_images)

@@ -1,0 +1,139 @@
+"""Synthetic tiny DONeRF-format scene for integration tests: a colored unit
+sphere at the origin viewed from a small view cell, written to disk in the
+exact directory layout the data layer expects."""
+
+import json
+import os
+
+import numpy as np
+
+from adanerf_tpu.ops.raygen import generate_ray_directions
+
+
+def look_at_matrix(eye):
+    """Camera at `eye` looking at the origin, y-up-ish."""
+    eye = np.asarray(eye, np.float64)
+    forward = -eye / np.linalg.norm(eye)          # towards origin
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(forward, up)
+    right /= np.linalg.norm(right)
+    up = np.cross(right, forward)
+    m = np.eye(4)
+    # camera convention: dirs have -z forward (raygen flips z)
+    m[:3, 0] = right
+    m[:3, 1] = up
+    m[:3, 2] = -forward
+    m[:3, 3] = eye
+    return m
+
+
+def render_sphere_image(pose, rotation, w, h, fov, focal,
+                        sphere_r=1.0, far=10.0):
+    """Analytic render of a colored lambertian-ish sphere + depth map."""
+    dirs = generate_ray_directions(w, h, fov, focal).reshape(-1, 3)
+    world_dirs = dirs @ rotation.T
+    o = np.broadcast_to(pose, world_dirs.shape)
+
+    b = np.sum(o * world_dirs, axis=-1)
+    c = np.sum(o * o, axis=-1) - sphere_r ** 2
+    disc = b * b - c
+    hit = disc > 0
+    t = -b - np.sqrt(np.maximum(disc, 0))
+    hit &= t > 0
+
+    img = np.zeros((w * h, 3), np.float32)
+    depth = np.full((w * h,), far, np.float32)
+    p = o + world_dirs * t[:, None]
+    normal = p / sphere_r
+    img[hit] = np.abs(normal[hit]) * 0.8 + 0.2
+    depth[hit] = t[hit]
+    return img.reshape(h, w, 3), depth.reshape(h, w)
+
+
+def make_scene(tmpdir, w=24, h=24, n_train=4, n_val=1, n_test=1,
+               with_depth=False):
+    os.makedirs(tmpdir, exist_ok=True)
+    fov = 0.8
+    focal = 0.5 * w / np.tan(0.5 * fov)
+    center = [0.0, 0.0, 3.0]
+    cell_size = [0.5, 0.5, 0.5]
+    far = 8.0
+
+    info = {
+        "view_cell_center": center,
+        "view_cell_size": cell_size,
+        "resolution": [w, h],
+        "camera_angle_x": fov,
+        "flip_depth": False,
+        "depth_distance_adjustment": False,
+        "depth_ignore": far,
+        "depth_range": [1.0, far],
+        "depth_range_warped_log": [0.1, far],
+        "depth_range_warped_lin": [0.1, far],
+    }
+    with open(os.path.join(tmpdir, "dataset_info.json"), "w") as f:
+        json.dump(info, f)
+
+    import imageio.v2 as imageio
+    rng = np.random.RandomState(0)
+    counts = {"train": n_train, "val": n_val, "test": n_test}
+    for split, n in counts.items():
+        os.makedirs(os.path.join(tmpdir, split), exist_ok=True)
+        frames = []
+        for i in range(n):
+            offset = rng.uniform(-0.2, 0.2, 3) * np.array(cell_size)
+            eye = np.array(center) + offset
+            m = look_at_matrix(eye)
+            pose = m[:3, 3]
+            rot = m[:3, :3]
+            img, depth = render_sphere_image(pose, rot, w, h, fov, focal,
+                                             far=far)
+            name = f"{split}/{i:04d}"
+            imageio.imwrite(os.path.join(tmpdir, name + ".png"),
+                            (img * 255).astype(np.uint8))
+            if with_depth:
+                np.savez(os.path.join(tmpdir, name + "_depth.npz"), depth=depth)
+            frames.append({"file_path": "./" + name,
+                           "transform_matrix": m.tolist()})
+        with open(os.path.join(tmpdir, f"transforms_{split}.json"), "w") as f:
+            json.dump({"frames": frames}, f)
+    return tmpdir
+
+
+def dense_config_args(data_dir, log_dir, samples=64, epochs=50,
+                      n_raymarch=16, threshold=0.0):
+    """CLI args equivalent to configs/dense_training.ini scaled down."""
+    return [
+        "-data", data_dir, "-log", log_dir,
+        "--depthTransform", "log", "--scale", "1",
+        "--inFeatures", "SpherePosDir", "--inFeatures", "RayMarchFromPoses",
+        "--outFeatures", "RawSigmoid", "--outFeatures", "RGBARayMarch",
+        "--posEnc", "nerf", "--posEnc", "nerf",
+        "--posEncArgs", "4-2", "--posEncArgs", "4-2",
+        "--raySampleInput", "0", "--raySampleInput", "0",
+        "--multiDepthFeatures", "16", "--multiDepthFeatures", "16",
+        "--multiDepthIgnoreValue", "1.01", "--multiDepthIgnoreValue", "1.01",
+        "--activation", "relu", "--activation", "nerf",
+        "--layers", "4", "--layers", "4",
+        "--layerWidth", "32", "--layerWidth", "32",
+        "--skips", " ", "--skips", "auto",
+        "--epochs", str(epochs), "--samples", str(samples),
+        "--batchImages", "2", "--lrate", "5e-4",
+        "--losses", "NeRFWeightMultiplicationLoss", "--losses", "MSE",
+        "--lossWeights", "0.025", "--lossWeights", "1.0",
+        "--epochsLockWeightsBefore", "-1", "--epochsLockWeightsBefore", "-1",
+        "--epochsLockWeightsAfter", "-1", "--epochsLockWeightsAfter", "-1",
+        "--numRaymarchSamples", str(n_raymarch), "--numRaymarchSamples", str(n_raymarch),
+        "--rayMarchSampler", "none", "--rayMarchSampler", "FromClassifiedDepthAdaptive",
+        "--rayMarchSamplingStep", "0.0625", "--rayMarchSamplingStep", "0.0625",
+        "--rayMarchNormalization", "InverseSqrtDistCentered",
+        "--rayMarchNormalization", "InverseSqrtDistCentered",
+        "--adaptiveSamplingThreshold", str(threshold),
+        "--accumulationMult", "alpha",
+        "--lossComponents", "One", "--lossComponents", "Zero",
+        "--lossComponents", "NerfA",
+        "--lossComponentBlending", "-1.0", "--lossComponentBlending", "-1.0",
+        "--lossComponentBlending", "-1.0",
+        "--lossBlendingStart", "5", "--lossBlendingDuration", "20",
+        "--inferenceChunkSize", "256",
+    ]
