@@ -183,8 +183,8 @@ def from_classified_depth(depth, n_samples, depth_range, depth_transform,
     return depth_transform.to_world(z, depth_range)
 
 
-def adaptive_select(depth: jnp.ndarray, max_samples: int, threshold: float,
-                    transform=None):
+def adaptive_select_reference(depth: jnp.ndarray, max_samples: int,
+                              threshold: float, transform=None):
     """FromClassifiedDepthAdaptive, threshold > 0 path
     (nerf_raymarch_common.py:722-757), fixed-shape.
 
@@ -223,6 +223,73 @@ def adaptive_select(depth: jnp.ndarray, max_samples: int, threshold: float,
     z = jnp.take_along_axis(z, order, axis=1)
     z_probs = jnp.take_along_axis(z_probs, order, axis=1)
     mask = jnp.isfinite(z)
+    return z, z_probs, mask
+
+
+def adaptive_select(depth: jnp.ndarray, max_samples: int, threshold: float,
+                    transform=None):
+    """Fast adaptive select — identical semantics to
+    ``adaptive_select_reference`` without top_k / sorts / take_along_axis
+    (all pathologically slow on TPU; see tools/profile_frame.py).
+
+    Selection rule (= reference): keep the up-to-``max_samples``
+    highest-valued bins with value >= threshold, ties broken toward lower bin
+    index; if none pass, keep the argmax bin. Output slots are ascending in
+    depth with inf/0/False padding at the tail.
+
+    Implementation: the kept set equals ``{b : d_b >= max(threshold, v_K)}``
+    with index-ordered tie capping, where v_K is the K-th largest value —
+    found by K rounds of (argmax + first-occurrence mask), all VPU
+    elementwise. The kept bins are already in ascending-depth (bin) order, so
+    the (rays, K) slot arrays come from a fused one-hot compare-reduce
+    instead of a sort.
+    """
+    depth = jax.lax.stop_gradient(depth)
+    if transform is not None:
+        depth = transform(depth)
+    n_rays, disc = depth.shape
+    cell_size = 1.0 / disc
+    dt = depth.dtype
+    bin_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rays, disc), 1)
+
+    # v_K: K-th largest per ray via iterative first-occurrence argmax
+    d_work = depth
+    v_k = None
+    for _ in range(max_samples):
+        idx = jnp.argmax(d_work, axis=1)
+        v_k = jnp.max(d_work, axis=1)
+        d_work = jnp.where(bin_iota == idx[:, None], -jnp.inf, d_work)
+
+    # keep set: strictly above v_K always kept; ties at v_K kept in bin order
+    # up to the remaining budget; everything must pass the threshold
+    above = depth > v_k[:, None]
+    n_above = jnp.sum(above, axis=1)
+    ties = depth == v_k[:, None]
+    tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=1)
+    budget = (max_samples - n_above)[:, None]
+    keep = above | (ties & (tie_rank <= budget))
+    keep = keep & (depth >= threshold)
+
+    # empty-ray fallback: single argmax bin (first occurrence)
+    empty = jnp.logical_not(jnp.any(keep, axis=1))
+    am = jnp.argmax(depth, axis=1)
+    keep = keep | (empty[:, None] & (bin_iota == am[:, None]))
+
+    # compact (rays, disc) -> (rays, K) in bin (= ascending z) order:
+    # rowcum[b] = #kept bins <= b; slot s holds the bin where rowcum == s+1
+    rowcum = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    n_per_ray = rowcum[:, -1]
+    onehot = (keep[:, :, None]
+              & (rowcum[:, :, None] == jnp.arange(1, max_samples + 1,
+                                                  dtype=jnp.int32)[None, None, :]))
+    oh = onehot.astype(dt)
+    bin_of_slot = jnp.einsum('rds,rd->rs', oh, bin_iota.astype(dt))
+    z_probs = jnp.einsum('rds,rd->rs', oh, depth)
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (n_rays, max_samples), 1)
+    mask = slot_iota < n_per_ray[:, None]
+    z = jnp.where(mask, (bin_of_slot + 0.5) * cell_size, INF)
+    z_probs = jnp.where(mask, z_probs, 0.0)
     return z, z_probs, mask
 
 

@@ -80,7 +80,8 @@ def render_rays_chunked(ts, pose, rotation, chunk_size: int,
                 if v is None:
                     continue
                 arr = np.asarray(v)
-                if arr.ndim == 1:
+                # only per-ray channels can be stitched across chunks
+                if arr.ndim == 1 and arr.shape[0] == chunk_size:
                     extras[k] = np.zeros((n_pix,), np.float32)
                 elif arr.ndim == 2 and arr.shape[0] == chunk_size:
                     extras[k] = np.zeros((n_pix, arr.shape[-1]), np.float32)

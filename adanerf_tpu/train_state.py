@@ -265,6 +265,7 @@ class TrainState:
                 new_opts.append(opt_new)
             return new_params, new_opts, per_net
 
+        self._train_step_raw = train_step  # unjitted body (for mesh sharding)
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         return self._train_step
 
