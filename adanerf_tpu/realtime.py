@@ -250,9 +250,7 @@ class RealtimeRenderer:
         caps = self.capacities
         bounds = jnp.asarray(caps, jnp.int32)
 
-        def one_batch(carry, start):
-            params0, params1, pose, rotation, dirs_full = carry
-            chunk = jax.lax.dynamic_slice(dirs_full, (start, 0), (B, 3))
+        def one_batch(params0, params1, pose, rotation, chunk):
             proj, nds, z_world, z_probs, mask, n_act = self._oracle_stage(
                 params0, pose, rotation, chunk)
             if self.compaction:
@@ -265,18 +263,24 @@ class RealtimeRenderer:
             else:
                 rgb = self._dense_shade_stage(params1, proj, nds, z_world,
                                               z_probs, mask)
-            return carry, (rgb, n_act)
+            return rgb, n_act
 
         @jax.jit
         def render(params0, params1, pose, rotation, dirs_full):
             if pad > 0:
                 dirs_full = jnp.concatenate(
                     [dirs_full, dirs_full[:pad]], axis=0)
-            starts = jnp.arange(n_batches, dtype=jnp.int32) * B
-            carry = (params0, params1, pose, rotation, dirs_full)
-            _, (rgb, n_acts) = jax.lax.scan(one_batch, carry, starts)
-            frame = rgb.reshape(n_batches * B, 3)[:n_pix]
-            return frame, n_acts
+            # unrolled batch loop: loop-invariant params/dirs stay out of any
+            # scan carry (a carried 7.7 MB dirs array would be copied every
+            # iteration), and XLA can overlap the batches' stages
+            rgbs, n_acts = [], []
+            for b in range(n_batches):
+                chunk = jax.lax.dynamic_slice(dirs_full, (b * B, 0), (B, 3))
+                rgb, n_act = one_batch(params0, params1, pose, rotation, chunk)
+                rgbs.append(rgb)
+                n_acts.append(n_act)
+            frame = jnp.concatenate(rgbs, axis=0)[:n_pix]
+            return frame, jnp.stack(n_acts)
 
         return render
 
