@@ -184,6 +184,11 @@ def iw_ssim(img_o: np.ndarray, img_d: np.ndarray, levels: int = 5,
     """
     img_o = np.asarray(img_o, np.float64)
     img_d = np.asarray(img_d, np.float64)
+    # the 11x11 SSIM window needs the coarsest band to be >= 11px; the
+    # reference assumes large (>=176px) images — reduce levels for small ones
+    min_side = min(img_o.shape)
+    max_levels = max(1, int(np.floor(np.log2(min_side / _WIN_SIZE))) + 1)
+    levels = min(levels, max_levels)
     pyr_o = laplacian_pyramid(img_o, levels)
     pyr_d = laplacian_pyramid(img_d, levels)
     l_map, cs_maps = _scale_quality_maps(pyr_o, pyr_d)

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Real-time-style benchmark viewer — the TPU equivalent of the CUDA/TensorRT
+viewer binary (reference: adanerf_real_time_viewer/src/main.cpp:19-51,
+neuralrenderer.cpp:146-222, imagegenerator.cpp:247-478).
+
+Usage (mirrors `./adanerf <model_dir> -s 800 800 -bs 80000 -nb 8`):
+  python viewer.py <exported_model_dir> -s 800 800 -bs 80000 -n 100 -d out/
+
+Loads the exported artifact directory (config.ini + dataset_info.txt +
+model weights), builds the bucketed-compaction renderer, renders frames along
+a camera path (predefined json path or an in-cell orbit), reports frame ms /
+FPS / per-stage microseconds / avg samples per pixel every logging interval,
+and optionally dumps frames (the BMP-dump path, neuralrenderer.cpp:184-222).
+"""
+
+import argparse
+import ast
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_kv_file(path):
+    """Parse `key = value` files (config.ini / dataset_info.txt) where value
+    may be a scalar, string or bracketed list (viewer parser: config.cpp)."""
+    out = {}
+    with open(path) as f:
+        for raw in f:
+            line = raw.split(';')[0].strip()
+            if not line or line.startswith('[') or '=' not in line:
+                continue
+            k, v = line.split('=', 1)
+            k, v = k.strip(), v.strip()
+            try:
+                out[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                if v.startswith('[') and v.endswith(']'):
+                    items = [x.strip() for x in v[1:-1].split(',')]
+                    conv = []
+                    for it in items:
+                        try:
+                            conv.append(ast.literal_eval(it))
+                        except (ValueError, SyntaxError):
+                            conv.append(it)
+                    out[k] = conv
+                else:
+                    out[k] = v
+    return out
+
+
+def build_renderer_from_export(model_dir, batch_size, dtype_str="bf16"):
+    import jax.numpy as jnp
+
+    from adanerf_tpu.models.mlp import BaseNetDef, NeRFDef
+    from adanerf_tpu.ops.depth_transforms import get_depth_transform
+    from adanerf_tpu.pipeline.features import SceneStatic
+    from adanerf_tpu.realtime import RealtimeRenderer
+    from adanerf_tpu.train_state import load_tree
+    from types import SimpleNamespace
+
+    cfg = parse_kv_file(os.path.join(model_dir, "config.ini"))
+    info = parse_kv_file(os.path.join(model_dir, "dataset_info.txt"))
+
+    w = h = None
+    fov = float(info["fov"])
+    focal = float(info["focal"])
+
+    config = SimpleNamespace(
+        numRaymarchSamples=cfg["numRaymarchSamples"],
+        adaptiveSamplingThreshold=float(cfg.get("adaptiveSamplingThreshold", 0.0)),
+        posEnc=cfg["posEnc"], posEncArgs=cfg["posEncArgs"],
+        rayMarchNormalization=cfg.get("rayMarchNormalization"),
+        accumulationMult=cfg.get("accumulationMult"))
+
+    depth_transform = get_depth_transform(cfg.get("depthTransform", "log"))
+    depth_range = [float(x) for x in info["depth_range"]]
+    scene = SceneStatic(
+        w=0, h=0, fov=fov, focal=focal,
+        view_cell_center=tuple(float(x) for x in info["view_cell_center"]),
+        view_cell_radius=float(np.linalg.norm(
+            np.array(info["view_cell_size"], np.float64) / 2.0)),
+        depth_range=tuple(depth_range),
+        depth_range_warped=tuple(depth_range),
+        depth_transform=depth_transform,
+        depth_max=float(info["max_depth"]))
+
+    # rebuild model definitions from the stored config
+    args0 = [int(x) for x in config.posEncArgs[0].split('-')]
+    args1 = [int(x) for x in config.posEncArgs[1].split('-')]
+    n_in0 = args0[0] * 6 + 3 + 3 + args0[1] * 6
+    oracle = BaseNetDef(depth=int(cfg["layers"][0]), width=int(cfg["layerWidth"][0]),
+                        n_in=n_in0, n_out=int(cfg["multiDepthFeatures"][0]),
+                        skip="", net_idx=0)
+    nerf = NeRFDef(depth=int(cfg["layers"][1]), width=int(cfg["layerWidth"][1]),
+                   input_ch=args1[0] * 6 + 3, input_ch_views=args1[1] * 6 + 3,
+                   n_out=4, skips=(4,), net_idx=1)
+    import jax
+    params = [oracle.init(jax.random.PRNGKey(0)), nerf.init(jax.random.PRNGKey(1))]
+    params[0] = load_tree(os.path.join(model_dir, "model0.weights"), params[0])
+    params[1] = load_tree(os.path.join(model_dir, "model1.weights"), params[1])
+
+    dtype = jnp.bfloat16 if dtype_str == "bf16" else None
+    rt = RealtimeRenderer([oracle, nerf], params, scene, config,
+                          batch_size=batch_size, dtype=dtype)
+    return rt, scene
+
+
+def orbit_poses(center, radius, n, phase=0.0):
+    """In-view-cell orbit (the WASD camera's role, headless)."""
+    poses = []
+    for i in range(n):
+        a = phase + 2 * np.pi * i / max(n, 1)
+        offset = radius * np.array([np.cos(a), 0.15 * np.sin(2 * a), np.sin(a)])
+        poses.append(np.asarray(center) + offset)
+    return poses
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("model_dir", type=str)
+    p.add_argument("-s", "--size", nargs=2, type=int, default=[800, 800])
+    p.add_argument("-bs", "--batch_size", type=int, default=80_000)
+    p.add_argument("-n", "--frames", type=int, default=100)
+    p.add_argument("-d", "--dump_dir", type=str, default=None)
+    p.add_argument("--camPath", type=str, default=None,
+                   help="camera path json (PredefinedCamera format)")
+    p.add_argument("--logging_interval", type=int, default=10)
+    p.add_argument("--fp32", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from adanerf_tpu.ops.raygen import generate_ray_directions
+
+    w, h = args.size
+    rt, scene = build_renderer_from_export(args.model_dir, args.batch_size,
+                                           "fp32" if args.fp32 else "bf16")
+    dirs = generate_ray_directions(w, h, scene.fov, scene.focal) \
+        .reshape(-1, 3).astype(np.float32)
+    n_pix = dirs.shape[0]
+
+    render = rt.make_frame_renderer(n_pix)
+    dirs_dev = jnp.asarray(dirs)
+    p0, p1 = rt.params
+
+    if args.camPath:
+        from adanerf_tpu.data.camera import PredefinedCamera
+        transforms = PredefinedCamera.import_camera_path(
+            os.path.dirname(args.camPath) or ".",
+            os.path.basename(args.camPath).replace(".json", ""), args.frames)
+        cams = [(t[:3, 3], t[:3, :3]) for t in transforms]
+    else:
+        poses = orbit_poses(scene.view_cell_center,
+                            0.4 * scene.view_cell_radius, args.frames)
+        cams = [(pos, np.eye(3, dtype=np.float32)) for pos in poses]
+
+    # compile + warm the transfer path (the engine-build phase)
+    t0 = time.perf_counter()
+    frame, n_acts = render(p0, p1, jnp.asarray(cams[0][0], jnp.float32),
+                           jnp.asarray(cams[0][1], jnp.float32), dirs_dev)
+    probe = jax.jit(lambda f: jnp.sum(f[:2, :2]))
+    float(probe(frame))
+    print(f"engine build (jit compile + warmup): {time.perf_counter() - t0:.1f}s")
+
+    total_samples = 0
+    t_start = time.perf_counter()
+    t_last = t_start
+    for i, (pos, rot) in enumerate(cams):
+        frame, n_acts = render(p0, p1, jnp.asarray(pos, jnp.float32),
+                               jnp.asarray(rot, jnp.float32), dirs_dev)
+        if args.dump_dir or (i + 1) % args.logging_interval == 0:
+            img = np.clip(np.asarray(frame), 0, 1).reshape(h, w, 3)
+            total_samples = float(np.sum(np.asarray(n_acts)))
+            now = time.perf_counter()
+            fps = args.logging_interval / (now - t_last)
+            t_last = now
+            print(f"frame {i + 1:5d}: {1e3 / max(fps, 1e-9):7.2f} ms "
+                  f"({fps:6.2f} FPS) avg samples/px "
+                  f"{total_samples / n_pix:.2f}")
+            if args.dump_dir:
+                os.makedirs(args.dump_dir, exist_ok=True)
+                import imageio.v2 as imageio
+                imageio.imwrite(os.path.join(args.dump_dir, f"{i:05d}.png"),
+                                (img * 255).astype(np.uint8))
+    # final fence
+    float(probe(frame))
+    dt = time.perf_counter() - t_start
+    print(f"total: {len(cams)} frames in {dt:.2f}s = {len(cams) / dt:.2f} FPS "
+          f"({len(cams) * n_pix / dt / 1e6:.2f} Mrays/s)")
+
+
+if __name__ == "__main__":
+    main()
