@@ -270,17 +270,17 @@ class RealtimeRenderer:
             if pad > 0:
                 dirs_full = jnp.concatenate(
                     [dirs_full, dirs_full[:pad]], axis=0)
-            # unrolled batch loop: loop-invariant params/dirs stay out of any
-            # scan carry (a carried 7.7 MB dirs array would be copied every
-            # iteration), and XLA can overlap the batches' stages
-            rgbs, n_acts = [], []
-            for b in range(n_batches):
-                chunk = jax.lax.dynamic_slice(dirs_full, (b * B, 0), (B, 3))
-                rgb, n_act = one_batch(params0, params1, pose, rotation, chunk)
-                rgbs.append(rgb)
-                n_acts.append(n_act)
-            frame = jnp.concatenate(rgbs, axis=0)[:n_pix]
-            return frame, jnp.stack(n_acts)
+            # scan over batches with loop-invariants CLOSED OVER (not carried
+            # — a carried 7.7 MB dirs array would be copied every iteration);
+            # the compiled program contains a single batch body
+            dirs_batched = dirs_full.reshape(n_batches, B, 3)
+
+            def body(_, chunk):
+                return _, one_batch(params0, params1, pose, rotation, chunk)
+
+            _, (rgb, n_acts) = jax.lax.scan(body, 0, dirs_batched)
+            frame = rgb.reshape(n_batches * B, 3)[:n_pix]
+            return frame, n_acts
 
         return render
 

@@ -1,0 +1,63 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh: the rays-sharded
+global-view train step must produce the same parameters as the single-device
+step, and the graft entry points must run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adanerf_tpu.config import Config
+from adanerf_tpu.parallel.mesh import batch_shardings, make_mesh, shard_train_step
+from adanerf_tpu.train_state import TrainState
+
+from scene_utils import dense_config_args, make_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    return make_scene(str(tmp_path_factory.mktemp("scene_par")))
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_matches_single(scene_dir, tmp_path):
+    args = dense_config_args(scene_dir, str(tmp_path / "logs"))
+    config = Config.init(argv=args)
+    ts = TrainState()
+    ts.initialize(config)
+
+    step_single = ts.make_train_step()
+    batch, targets = ts.assemble_train_batch(ts.train_dataset, np.array([0, 1]))
+
+    # the jitted step donates params/opt_states; feed it copies
+    p1, o1, per1 = step_single(jax.tree.map(jnp.copy, ts.params),
+                               jax.tree.map(jnp.copy, ts.opt_states),
+                               batch, targets,
+                               jnp.asarray(3), jax.random.PRNGKey(0))
+
+    mesh = make_mesh()
+    jitted, place = shard_train_step(ts, mesh)
+    params, opts, sb, st = place(ts.params, ts.opt_states, batch, targets)
+    p2, o2, per2 = jitted(params, opts, sb, st, jnp.asarray(3),
+                          jax.random.PRNGKey(0))
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    assert np.isclose(float(per1[1]), float(per2[1]), rtol=1e-5)
+
+
+def test_graft_entry():
+    import __graft_entry__ as ge
+    fn, ex_args = ge.entry()
+    out = jax.jit(fn)(*ex_args)
+    assert out.shape[-1] == 3 and np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
