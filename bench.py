@@ -12,6 +12,12 @@ bucketing via lax.switch, zero host round-trips inside the frame.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is FPS / 30 (BASELINE.json north star: >=30 FPS-equivalent at
 800x800 on one v5e chip).
+
+Timing notes for the tunnel-attached TPU: block_until_ready is not a
+completion fence and the FIRST device->host readback of a process costs
+minutes, so (1) that cost is paid upfront on a trivial constant, (2) the
+oracle-threshold calibration runs entirely on device, and (3) throughput is
+the slope between two frame-chain lengths, each fenced by one tiny readback.
 """
 
 import json
@@ -60,41 +66,54 @@ def build_workload(w=800, h=800, max_samples=8, threshold=0.2,
     directions = generate_ray_directions(w, h, fov, focal) \
         .reshape(-1, 3).astype(np.float32)
 
-    # calibrate: shift the oracle output bias so the thresholded top-k keeps
-    # ~target_avg_samples samples/ray — an honest adaptive workload with
-    # untrained weights (a trained classroom oracle keeps ~2-4 of 8)
-    rt_probe = RealtimeRenderer([oracle, nerf], params, scene, config,
-                                batch_size=8192)
-    pose = jnp.asarray(scene.view_cell_center, jnp.float32)
-    rot = jnp.eye(3)
-    probe_dirs = jnp.asarray(directions[:: max(len(directions) // 8192, 1)][:8192])
-    # run the real feature math (sphere projection) for the probe
-    _probe = jax.jit(lambda p: rt_probe._oracle_stage(p, pose, rot, probe_dirs))
-    proj, nds, _, _, _, _ = _probe(params[0])
-    out = np.asarray(oracle.apply(params[0], jnp.concatenate(
-        [rt_probe.enc0_dir(nds), rt_probe.enc0_pos(proj)], -1)))
-
-    def avg_kept(shift):
-        counts = (out + shift >= threshold).sum(axis=1)
-        return np.minimum(counts, max_samples).mean()
-
-    lo, hi = -50.0, 50.0
-    for _ in range(60):
-        mid = 0.5 * (lo + hi)
-        if avg_kept(mid) < target_avg_samples:
-            lo = mid
-        else:
-            hi = mid
-    params[0][-1]["b"] = params[0][-1]["b"] + 0.5 * (lo + hi)
-
+    # ON-DEVICE calibration: shift the oracle's output bias so the
+    # thresholded top-k keeps ~target_avg_samples samples/ray — an honest
+    # adaptive workload with untrained weights (a trained classroom oracle
+    # keeps ~2-4 of 8). Bisection runs in one jit; no readback.
     rt = RealtimeRenderer([oracle, nerf], params, scene, config,
                           batch_size=batch_size)
+    pose = jnp.asarray(scene.view_cell_center, jnp.float32)
+    rot = jnp.eye(3)
+    probe_dirs = jnp.asarray(
+        directions[:: max(len(directions) // 8192, 1)][:8192])
+
+    @jax.jit
+    def calibrate(p0):
+        nds = probe_dirs @ rot.T
+        from adanerf_tpu.ops.raymarch import ray_sphere_offset
+        center = jnp.asarray(scene.view_cell_center)
+        origins = jnp.broadcast_to(pose, nds.shape)
+        dist = ray_sphere_offset(nds, origins, center, scene.view_cell_radius)
+        proj = origins + nds * dist[:, None]
+        out = oracle.apply(p0, jnp.concatenate(
+            [rt.enc0_dir(nds), rt.enc0_pos(proj)], -1))
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            kept = jnp.minimum(jnp.sum(out + mid >= threshold, axis=1),
+                               max_samples).mean()
+            low = kept < target_avg_samples
+            return (jnp.where(low, mid, lo), jnp.where(low, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, 50, body, (jnp.float32(-50.0),
+                                                 jnp.float32(50.0)))
+        return 0.5 * (lo + hi)
+
+    shift = calibrate(params[0])
+    params[0][-1]["b"] = params[0][-1]["b"] + shift
+    rt.params = params
     return rt, directions, scene
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    # pay the per-process transfer-path init on a trivial constant
+    t0 = time.perf_counter()
+    float(jnp.zeros(()))
+    init_s = time.perf_counter() - t0
 
     w = h = 800
     rt, directions, scene = build_workload(w, h)
@@ -103,38 +122,33 @@ def main():
     render = rt.make_frame_renderer(n_pix)
     dirs_dev = jnp.asarray(directions)  # uploaded once
     p0, p1 = rt.params[0], rt.params[1]
-
-    # NOTE: through the axon tunnel, block_until_ready() does not reflect
-    # device completion; the only honest fence is a (tiny) readback. We warm
-    # the transfer path once, then time N chained frames ending in a scalar
-    # readback and subtract the per-readback latency measured separately.
     probe = jax.jit(lambda f: jnp.sum(f[:2, :2]))
 
     rng = np.random.RandomState(1)
     center = np.asarray(scene.view_cell_center)
     poses = [jnp.asarray(center + rng.uniform(-0.2, 0.2, 3), jnp.float32)
-             for _ in range(64)]
+             for _ in range(32)]
     rot = jnp.eye(3)
 
-    # compile + warm transfer path
+    # compile + warm
+    t0 = time.perf_counter()
     frame, n_acts = render(p0, p1, poses[0], rot, dirs_dev)
     float(probe(frame))
-    t0 = time.perf_counter()
-    float(probe(frame))
-    read_latency = time.perf_counter() - t0
+    compile_s = time.perf_counter() - t0
 
     def run(n_frames):
         t0 = time.perf_counter()
         last = None
+        acts = None
         for f in range(n_frames):
-            last, n_acts = render(p0, p1, poses[f % len(poses)], rot, dirs_dev)
+            last, acts = render(p0, p1, poses[f % len(poses)], rot, dirs_dev)
         float(probe(last))
-        return time.perf_counter() - t0, n_acts
+        return time.perf_counter() - t0, acts
 
-    dt1, _ = run(4)
-    dt2, n_acts = run(24)
-    # slope between the two chain lengths removes fixed dispatch/readback cost
-    per_frame_s = (dt2 - dt1) / (24 - 4)
+    n1, n2 = 3, 13
+    dt1, _ = run(n1)
+    dt2, n_acts = run(n2)
+    per_frame_s = (dt2 - dt1) / (n2 - n1)
 
     rays_per_s = n_pix / per_frame_s
     fps = 1.0 / per_frame_s
@@ -147,8 +161,8 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
     }))
     print(f"# fps={fps:.2f} frame_ms={per_frame_s * 1e3:.2f} "
-          f"avg_samples/px={avg_samples:.2f} read_latency_ms="
-          f"{read_latency * 1e3:.1f} buckets={rt.capacities}",
+          f"avg_samples/px={avg_samples:.2f} init_s={init_s:.0f} "
+          f"compile_s={compile_s:.0f} buckets={rt.capacities}",
           file=sys.stderr)
 
 

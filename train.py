@@ -158,22 +158,22 @@ def train(ts: TrainState):
     step = ts.make_train_step()
     n_images = len(ts.train_dataset)
     batch_images = c.batchImages if c.batchImages != -1 else n_images
-    perm = np.random.permutation(n_images)
-    cursor = 0
+
+    # background batch assembly overlapping the jitted step (the 8-worker
+    # DataLoader analog, adanerf_tpu/data/prefetch.py)
+    from adanerf_tpu.data.prefetch import BatchPrefetcher, epoch_image_indices
+    seed = c.randomSeed if c.randomSeed != -1 else 0
+    prefetcher = BatchPrefetcher(
+        lambda idx: ts.assemble_train_batch(ts.train_dataset, idx),
+        epoch_image_indices(n_images, batch_images,
+                            ts.epochs - ts.epoch0 + 1, seed))
 
     loss_host = 0.0
-    per_net_pending = None
     from tqdm import tqdm
     tqdm_range = tqdm(range(ts.epoch0, ts.epochs))
 
     for epoch in tqdm_range:
-        if cursor + batch_images > n_images:
-            perm = np.random.permutation(n_images)
-            cursor = 0
-        img_idx = perm[cursor:cursor + batch_images]
-        cursor += batch_images
-
-        batch, targets = ts.assemble_train_batch(ts.train_dataset, img_idx)
+        batch, targets = next(prefetcher)
         ts.params, ts.opt_states, per_net = step(
             ts.params, ts.opt_states, batch, targets, jnp.asarray(epoch),
             jax.random.PRNGKey(epoch))
@@ -232,6 +232,8 @@ def train(ts: TrainState):
                         if os.path.exists(src):
                             shutil.copy(src, os.path.join(
                                 ts.logDir, f"_opt_{net_idx}.mp4"))
+
+    prefetcher.close()
 
 
 def main():
