@@ -59,7 +59,13 @@ class RealtimeRenderer:
     def __init__(self, model_defs, params, scene, config,
                  batch_size: int = 80_000,
                  buckets: Tuple[float, ...] = (0.125, 0.25, 0.5, 1.0),
-                 dtype=jnp.bfloat16, compaction: bool = True):
+                 dtype=jnp.bfloat16, compaction: bool = True,
+                 use_pallas_mlp: bool = False):
+        # NOTE: the fused Pallas MLP wins 3.6x in isolation but currently
+        # LOSES inside the full frame program (breaks XLA's surrounding
+        # fusion); keep it opt-in until the fused gather+encode+MLP kernel
+        # replaces the whole stage.
+        self._use_pallas_mlp = use_pallas_mlp
         self.oracle_def, self.nerf_def = model_defs[0], model_defs[1]
         self.params = params
         self.scene = scene
@@ -80,11 +86,29 @@ class RealtimeRenderer:
         self.normalization = get_normalization(norm_name)
         self.accumulation_mult = config.accumulationMult or None
 
+        # the fused Pallas MLP kernel wants capacities that are multiples of
+        # its row tile; rounding buckets up costs a sliver of padded compute
+        self._mlp_tile = 2048
         cap_unit = batch_size * self.max_samples
-        self.capacities = sorted({max(int(b * cap_unit), batch_size)
+
+        def round_tile(c):
+            t = self._mlp_tile
+            return ((c + t - 1) // t) * t
+
+        self.capacities = sorted({round_tile(max(int(b * cap_unit), batch_size))
                                   for b in buckets})
         if self.capacities[-1] < cap_unit:
-            self.capacities.append(cap_unit)
+            self.capacities.append(round_tile(cap_unit))
+
+        # fused Pallas shading kernel (TPU-only; jnp fallback elsewhere —
+        # the kernel-vs-fallback duality of SURVEY.md §4)
+        self._packed_nerf = None
+        if (use_pallas_mlp and dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+                and self.nerf_def.width % 128 == 0):
+            from .ops.pallas.mlp_kernels import pack_nerf_weights
+            self._packed_nerf = pack_nerf_weights(self.nerf_def, params[1],
+                                                  dtype=jnp.bfloat16)
 
         self._oracle_fn = jax.jit(self._oracle_stage)
         self._shade_fns = {c: jax.jit(partial(self._shade_stage, capacity=c))
@@ -129,6 +153,15 @@ class RealtimeRenderer:
         center = jnp.asarray(sc.view_cell_center)
         p = self.normalization(pos, center, sc.depth_max)
         return jnp.concatenate([self.enc1_pos(p), self.enc1_dir(dirs)], axis=-1)
+
+    def _apply_nerf(self, params1, emb):
+        """Shading MLP: fused Pallas kernel when available, jnp otherwise."""
+        if self._packed_nerf is not None and emb.shape[0] % self._mlp_tile == 0:
+            from .ops.pallas.mlp_kernels import embed_pad, nerf_mlp_pallas
+            x = embed_pad(emb)
+            return nerf_mlp_pallas(self.nerf_def, self._packed_nerf, x,
+                                   tile=self._mlp_tile)
+        return self.nerf_def.apply(params1, emb, dtype=self.dtype)
 
     def _composite(self, restored, z_world, z_probs, mask):
         """Masked compositing with the oracle-density premultiply
@@ -180,7 +213,7 @@ class RealtimeRenderer:
         d = nds[ray_of]
         pos = o + d * z_flat[:, None]
         emb = self._encode_samples(pos, d)
-        raw = self.nerf_def.apply(params1, emb, dtype=dt)
+        raw = self._apply_nerf(params1, emb)
         sig = jax.nn.sigmoid(raw.astype(jnp.float32))
 
         alpha = sig[:, 3]
@@ -227,7 +260,7 @@ class RealtimeRenderer:
         pos = origins[:, None, :] + nds[:, None, :] * z_safe[..., None]
         dirs_exp = jnp.broadcast_to(nds[:, None, :], pos.shape)
         emb = self._encode_samples(pos.reshape(-1, 3), dirs_exp.reshape(-1, 3))
-        raw = self.nerf_def.apply(params1, emb, dtype=dt)
+        raw = self._apply_nerf(params1, emb)
         sig = jax.nn.sigmoid(raw.astype(jnp.float32)).reshape(B, S, 4)
         sig = sig * mask[..., None]
         return self._composite(sig, z_world, z_probs, mask)
