@@ -267,6 +267,59 @@ class ViewCellDataset:
         return np.arange(self.w * self.h, dtype=np.int64)
 
 
+class CameraViewCellDataset:
+    """Video-path pseudo-dataset: poses from a parametric/file camera, no
+    images (reference: datasets.py:633-665)."""
+
+    def __init__(self, config, dataset_info: DatasetInfo):
+        from .camera import camera_path_transforms
+        self.info = dataset_info
+        self.w, self.h = dataset_info.w, dataset_info.h
+        transforms = camera_path_transforms(config, dataset_info)
+        self.num_items = len(transforms)
+        self.poses = transforms[:, :3, 3].astype(np.float32)
+        self.rotations = transforms[:, :3, :3].astype(np.float32)
+        self.directions = generate_ray_directions(
+            self.w, self.h, dataset_info.view.fov,
+            dataset_info.view.focal).reshape(-1, 3).astype(np.float32)
+        self.color_images = None
+        self.depth_images = None
+        self.image_filenames = [f"vid_{i:05d}" for i in range(self.num_items)]
+
+    def __len__(self):
+        return self.num_items
+
+
+class MultipleViewCellCameraDataset(CameraViewCellDataset):
+    """Camera path spanning several view cells: per pose, find the containing
+    cell(s) with radius/distance metadata (reference: datasets.py:668-730)."""
+    ConstantIndex = "indices"
+    ConstantRadius = "radius"
+    ConstantDistance = "distance"
+
+    def __init__(self, config, dataset_info: DatasetInfo, view_cells_data):
+        super().__init__(config, dataset_info)
+        self.pose_to_view_cells = []
+        for pose in self.poses:
+            cells = {self.ConstantIndex: [], self.ConstantRadius: [],
+                     self.ConstantDistance: []}
+            for vc in view_cells_data:
+                orientation = np.array(vc["view_cell_orientation"], np.float32)
+                center = orientation[:3, 3]
+                size = vc["view_cell_size"]
+                m_world = np.array(vc["view_cell_matrix_world"], np.float32)
+                local = np.linalg.inv(m_world) @ np.append(pose, 1.0)
+                if np.all(np.abs(local[:3]) <= 1.0):
+                    cells[self.ConstantIndex].append(vc["view_cell_name"])
+                    cells[self.ConstantRadius].append(
+                        float(np.linalg.norm(np.array(size) / 2.0)))
+                    cells[self.ConstantDistance].append(
+                        float(np.linalg.norm(center - pose)))
+            if not cells[self.ConstantIndex]:
+                raise ValueError("could not find view cell for pose")
+            self.pose_to_view_cells.append(cells)
+
+
 def load_dataset_split(config, dataset_info, set_name, num_samples=2048,
                        load_images=True):
     return ViewCellDataset(config, dataset_info, set_name, num_samples,

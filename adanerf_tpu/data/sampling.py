@@ -36,6 +36,28 @@ class RSequence:
         idx = np.arange(start, start + count, dtype=np.float64)[:, None]
         return (self.seed + self.alpha[None, :] * (idx + 1)) % 1.0
 
+    def _discrete_native(self, start, count, minv, maxv):
+        """Native C evaluation (native/disc_depth.c r_sequence_discrete)."""
+        import ctypes
+
+        from ..native.disc_depth import _load_lib
+        lib = _load_lib()
+        if lib is None or not hasattr(lib, "r_sequence_discrete"):
+            return None
+        alpha = np.ascontiguousarray(self.alpha, np.float64)
+        minv_a = np.ascontiguousarray(np.broadcast_to(minv, (self.dims,)), np.int64)
+        maxv_a = np.ascontiguousarray(np.broadcast_to(maxv, (self.dims,)), np.int64)
+        out = np.empty((count, self.dims), np.int64)
+        lib.r_sequence_discrete(
+            ctypes.c_double(self.seed),
+            alpha.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int(self.dims), ctypes.c_int64(start),
+            ctypes.c_int64(count),
+            minv_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            maxv_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return out
+
     def get_discrete_subset(self, num_elements: int, minv=0, maxv=(400, 400)):
         """Next window of the sequence discretized into [minv, maxv) ints,
         wrapping at num_pregeneration like the reference's cache."""
@@ -43,6 +65,12 @@ class RSequence:
         if offset_end > self.num_pregeneration:
             offset_end = num_elements
             self.offset_start = 0
+        if type(self) is RSequence:
+            native = self._discrete_native(self.offset_start, num_elements,
+                                           np.asarray(minv), np.asarray(maxv))
+            if native is not None:
+                self.offset_start = offset_end
+                return native
         vals = self._values(self.offset_start, num_elements).astype(np.float32)
         self.offset_start = offset_end
         value_range = np.asarray(maxv) - np.asarray(minv)

@@ -43,6 +43,15 @@ def _load_lib():
                 ctypes.c_int,                     # n_feat
                 ctypes.c_float,                   # ignore value
             ]
+            lib.r_sequence_discrete.argtypes = [
+                ctypes.c_double,                  # seed
+                ctypes.POINTER(ctypes.c_double),  # alpha (dims)
+                ctypes.c_int,                     # dims
+                ctypes.c_int64, ctypes.c_int64,   # start, count
+                ctypes.POINTER(ctypes.c_int64),   # minv (dims)
+                ctypes.POINTER(ctypes.c_int64),   # maxv (dims)
+                ctypes.POINTER(ctypes.c_int64),   # out (count, dims)
+            ]
             _LIB = lib
         except OSError:
             _LIB = None

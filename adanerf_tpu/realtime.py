@@ -205,12 +205,26 @@ class RealtimeRenderer:
         slots = jnp.arange(capacity, dtype=jnp.int32)
         live = slots < n_act
         s_of = slots - ray_start[ray_of]
-        flat_idx = ray_of * S + s_of
 
-        z_flat = z_world.reshape(-1)[flat_idx]
-        zp_flat = z_probs.reshape(-1)[flat_idx]
-        o = origins[ray_of]
-        d = nds[ray_of]
+        # ONE wide aligned row gather instead of four narrow ones (TPU
+        # gathers of 128-lane rows run at ~half HBM peak; 3-wide rows are
+        # ~20x slower — see tools profiling): pack all per-ray data into
+        # (B, 128) [o(3) | d(3) | z(S) | z_probs(S) | 0...] and gather once.
+        packed = jnp.zeros((B, 128), jnp.float32)
+        packed = packed.at[:, 0:3].set(origins)
+        packed = packed.at[:, 3:6].set(nds)
+        packed = packed.at[:, 6:6 + S].set(jnp.where(mask, z_world, 0.0))
+        packed = packed.at[:, 6 + S:6 + 2 * S].set(z_probs)
+        rows = packed[ray_of]                                           # (cap, 128)
+
+        o = rows[:, 0:3]
+        d = rows[:, 3:6]
+        # select this slot's z / prob from the ray's row (compare-reduce)
+        onehot_s = (jax.lax.broadcasted_iota(jnp.int32, (capacity, S), 1)
+                    == s_of[:, None]).astype(jnp.float32)
+        z_flat = jnp.sum(rows[:, 6:6 + S] * onehot_s, axis=1)
+        zp_flat = jnp.sum(rows[:, 6 + S:6 + 2 * S] * onehot_s, axis=1)
+
         pos = o + d * z_flat[:, None]
         emb = self._encode_samples(pos, d)
         raw = self._apply_nerf(params1, emb)

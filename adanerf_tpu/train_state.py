@@ -351,6 +351,11 @@ class TrainState:
                           self.params[i])
                 save_tree(os.path.join(self.logDir, f"{d.name}_{name_suffix}.optimizer"),
                           self.opt_states[i])
+        if getattr(self.config_file, "amp", False):
+            # bf16 on TPU needs no loss scaling; keep an AMP-scaler state
+            # placeholder for checkpoint-layout compat (train_data.py:328-329)
+            save_tree(os.path.join(self.logDir, f"{name_suffix}.scale"),
+                      {"scale": np.float32(1.0), "growth_tracker": np.int32(0)})
 
     def _ckpt_candidates(self, path: str, name: str, include_opt=False):
         try:

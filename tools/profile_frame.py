@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from bench import build_workload
+import jax.numpy as _jnp; float(_jnp.zeros(()))
 from adanerf_tpu.ops.samplers import adaptive_select
 
 
