@@ -162,20 +162,31 @@ class ViewCellDataset:
             file_path = os.path.join(self.dataset_path, frame["file_path"][2:])
             file_name = file_path + ".png"
             self.image_filenames.append(file_name)
-            if not load_images:
-                continue
-            img = self.load_color_image(file_name)
+
+        if load_images and self.num_items > 0:
+            # native thread-pool PNG decode (the 8-worker DataLoader analog;
+            # adanerf_tpu/native/dataloader.cpp); imageio fallback below
+            from ..native.loader import load_images_parallel
+            color_images = load_images_parallel(self.image_filenames,
+                                                self.h, self.w, self.scale)
             if color_images is None:
-                color_images = np.zeros((self.num_items,) + img.shape, np.float32)
-            color_images[i] = img
+                color_images = np.zeros((self.num_items, self.h, self.w, 3),
+                                        np.float32)
+                for i, file_name in enumerate(self.image_filenames):
+                    color_images[i] = self.load_color_image(file_name)
+
             if self.load_depth:
-                depth_name = file_path + "_depth.npz"
-                if os.path.exists(depth_name):
-                    d = self.load_depth_image(depth_name)
-                    if depth_images is None:
-                        depth_images = np.zeros(
-                            (self.num_items, d.shape[1], d.shape[2], 1), np.float32)
-                    depth_images[i] = d[0]
+                for i, frame in enumerate(frames):
+                    file_path = os.path.join(self.dataset_path,
+                                             frame["file_path"][2:])
+                    depth_name = file_path + "_depth.npz"
+                    if os.path.exists(depth_name):
+                        d = self.load_depth_image(depth_name)
+                        if depth_images is None:
+                            depth_images = np.zeros(
+                                (self.num_items, d.shape[1], d.shape[2], 1),
+                                np.float32)
+                        depth_images[i] = d[0]
 
         self.color_images = color_images
         self.depth_images = depth_images

@@ -131,20 +131,28 @@ class RealtimeRenderer:
         x = jnp.concatenate([self.enc0_dir(nds), self.enc0_pos(proj)], axis=-1)
         oracle_out = self.oracle_def.apply(params0, x, dtype=dt)
 
+        B = dirs.shape[0]
+        S = self.max_samples
         if self.threshold > 0.0:
             z_unit, z_probs, mask = adaptive_select(
-                oracle_out.astype(jnp.float32), self.max_samples, self.threshold)
+                oracle_out.astype(jnp.float32), S, self.threshold)
             z_world = sc.depth_transform.to_world(z_unit, sc.depth_range_warped)
             n_act = jnp.sum(mask.astype(jnp.int32))
         else:
-            B = dirs.shape[0]
-            z_unit = linearly_spaced_z(B, 0.001, 1.0, self.max_samples)
+            z_unit = linearly_spaced_z(B, 0.001, 1.0, S)
             z_world = sc.depth_transform.to_world(z_unit, sc.depth_range_warped)
-            z_probs = jax.nn.sigmoid(oracle_out) if oracle_out.shape[-1] == \
-                self.max_samples else jnp.ones_like(z_world)
+            z_probs = jax.nn.sigmoid(oracle_out) if oracle_out.shape[-1] == S \
+                else jnp.ones_like(z_world)
             mask = jnp.ones(z_world.shape, bool)
-            n_act = jnp.asarray(B * self.max_samples, jnp.int32)
-        return proj, nds, z_world, z_probs, mask, n_act
+            n_act = jnp.asarray(B * S, jnp.int32)
+
+        # pack all per-ray shade inputs into 128-lane rows here, fused with
+        # the select (one aligned gather in the shade stage replaces four
+        # narrow ones): [o(3) | d(3) | z(S) | z_probs(S) | 0...]
+        packed = jnp.concatenate(
+            [proj, nds, jnp.where(mask, z_world, 0.0), z_probs,
+             jnp.zeros((B, 128 - 6 - 2 * S), jnp.float32)], axis=-1)
+        return packed, mask, n_act
 
     # -- stage 3: compacted shading + composite ------------------------------
 
@@ -178,8 +186,7 @@ class RealtimeRenderer:
             weights = weights * z_probs
         return jnp.sum(weights[..., None] * rgb, axis=-2)
 
-    def _shade_stage(self, params1, origins, nds, z_world, z_probs, mask,
-                     capacity: int):
+    def _shade_stage(self, params1, packed, mask, capacity: int):
         """Compacted shading + in-place segmented compositing.
 
         TPU scatters and big row-gathers are pathological (tools/
@@ -191,7 +198,7 @@ class RealtimeRenderer:
         sum for radiance) — the XLA analog of the CUDA per-ray compositing
         loop (adaptive_cuda_kernels.cu:742-852).
         """
-        B, S = z_world.shape
+        B, S = mask.shape
         dt = self.dtype
         n_per_ray = jnp.sum(mask.astype(jnp.int32), axis=1)            # (B,)
         cum = jnp.cumsum(n_per_ray)
@@ -208,13 +215,8 @@ class RealtimeRenderer:
 
         # ONE wide aligned row gather instead of four narrow ones (TPU
         # gathers of 128-lane rows run at ~half HBM peak; 3-wide rows are
-        # ~20x slower — see tools profiling): pack all per-ray data into
-        # (B, 128) [o(3) | d(3) | z(S) | z_probs(S) | 0...] and gather once.
-        packed = jnp.zeros((B, 128), jnp.float32)
-        packed = packed.at[:, 0:3].set(origins)
-        packed = packed.at[:, 3:6].set(nds)
-        packed = packed.at[:, 6:6 + S].set(jnp.where(mask, z_world, 0.0))
-        packed = packed.at[:, 6 + S:6 + 2 * S].set(z_probs)
+        # ~20x slower — see tools profiling); rows were packed in the oracle
+        # stage: [o(3) | d(3) | z(S) | z_probs(S) | 0...]
         rows = packed[ray_of]                                           # (cap, 128)
 
         o = rows[:, 0:3]
@@ -265,11 +267,15 @@ class RealtimeRenderer:
         seg_end = jnp.minimum(ray_start + n_per_ray - 1, capacity - 1)
         return incl_sum[seg_end]
 
-    def _dense_shade_stage(self, params1, origins, nds, z_world, z_probs, mask):
+    def _dense_shade_stage(self, params1, packed, mask):
         """Masked-dense fallback: evaluate the MLP at every slot (dead slots
         masked out) — used for threshold=0 and as a compaction baseline."""
-        B, S = z_world.shape
+        B, S = mask.shape
         dt = self.dtype
+        origins = packed[:, 0:3]
+        nds = packed[:, 3:6]
+        z_world = packed[:, 6:6 + S]
+        z_probs = packed[:, 6 + S:6 + 2 * S]
         z_safe = jnp.where(mask, z_world, 1.0)
         pos = origins[:, None, :] + nds[:, None, :] * z_safe[..., None]
         dirs_exp = jnp.broadcast_to(nds[:, None, :], pos.shape)
@@ -298,18 +304,16 @@ class RealtimeRenderer:
         bounds = jnp.asarray(caps, jnp.int32)
 
         def one_batch(params0, params1, pose, rotation, chunk):
-            proj, nds, z_world, z_probs, mask, n_act = self._oracle_stage(
+            packed, mask, n_act = self._oracle_stage(
                 params0, pose, rotation, chunk)
             if self.compaction:
                 idx = jnp.searchsorted(bounds, n_act)
                 idx = jnp.minimum(idx, len(caps) - 1)
                 branches = [partial(self._shade_stage, capacity=c)
                             for c in caps]
-                rgb = jax.lax.switch(idx, branches, params1, proj, nds,
-                                     z_world, z_probs, mask)
+                rgb = jax.lax.switch(idx, branches, params1, packed, mask)
             else:
-                rgb = self._dense_shade_stage(params1, proj, nds, z_world,
-                                              z_probs, mask)
+                rgb = self._dense_shade_stage(params1, packed, mask)
             return rgb, n_act
 
         @jax.jit
@@ -341,16 +345,15 @@ class RealtimeRenderer:
         """Render one ray batch; returns (B, 3) rgb."""
         p0, p1 = self.params[0], self.params[1]
         t0 = time.perf_counter()
-        proj, nds, z_world, z_probs, mask, n_act = self._oracle_fn(
-            p0, pose, rotation, dirs)
+        packed, mask, n_act = self._oracle_fn(p0, pose, rotation, dirs)
         n_act_host = int(jax.device_get(n_act))  # the one sync (TRT ragged dim)
         t1 = time.perf_counter()
         if self.compaction:
             cap = self.pick_capacity(n_act_host)
-            rgb = self._shade_fns[cap](p1, proj, nds, z_world, z_probs, mask)
+            rgb = self._shade_fns[cap](p1, packed, mask)
         else:
-            cap = z_world.shape[0] * z_world.shape[1]
-            rgb = self._dense_fn(p1, proj, nds, z_world, z_probs, mask)
+            cap = mask.shape[0] * mask.shape[1]
+            rgb = self._dense_fn(p1, packed, mask)
         rgb.block_until_ready()
         t2 = time.perf_counter()
         if stats is not None:
@@ -392,11 +395,9 @@ class RealtimeRenderer:
         p0, p1 = self.params[0], self.params[1]
         outs = self._oracle_fn(p0, pose, rot, chunk)
         jax.block_until_ready(outs)
-        proj, nds, z_world, z_probs, mask, _ = outs
+        packed, mask, _ = outs
         if self.compaction:
             for c in self.capacities:
-                self._shade_fns[c](p1, proj, nds, z_world, z_probs,
-                                   mask).block_until_ready()
+                self._shade_fns[c](p1, packed, mask).block_until_ready()
         else:
-            self._dense_fn(p1, proj, nds, z_world, z_probs,
-                           mask).block_until_ready()
+            self._dense_fn(p1, packed, mask).block_until_ready()
