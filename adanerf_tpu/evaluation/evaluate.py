@@ -166,6 +166,97 @@ def generate_data(ts, flags, out_dir=None):
     return q
 
 
+def load_reference_video(data_path):
+    """Frames from <scene>/reference_video/*.png (evaluate.py:345-360)."""
+    import imageio.v2 as imageio
+    ref_path = os.path.join(data_path, "reference_video")
+    if not os.path.exists(ref_path):
+        return None
+    frames = []
+    for f in sorted(os.listdir(ref_path)):
+        if f.lower().endswith((".png", ".jpg")):
+            frames.append(imageio.imread(os.path.join(ref_path, f)))
+    return frames or None
+
+
+def generate_video_data(ts, flags, reference_video, out_dir=None):
+    """Camera-path render vs a reference video: per-frame metrics +
+    diff/square-diff/flip frame sequences + image_quality_video.{txt,csv}
+    (reference: generate_data with reference_video, evaluate.py:164-342)."""
+    import cv2
+
+    from ..data.camera import PredefinedCamera
+
+    out_dir = out_dir or getattr(ts, 'outDir', ts.logDir)
+    h, w = ts.h, ts.w
+    chunk = ts.config_file.inferenceChunkSize
+    transforms = PredefinedCamera.import_camera_path(
+        ts.config_file.data, "cam_path", len(reference_video))
+
+    q = QualityContainer()
+    n = min(len(transforms), len(reference_video))
+    for i in range(n):
+        t = transforms[i]
+        imgs, _ = render_rays_chunked(ts, t[:3, 3], t[:3, :3], chunk,
+                                      collect=[])
+        test = np.clip(imgs[-1][:, :3], 0.0, 1.0).reshape(h, w, 3)
+        ref = np.asarray(reference_video[i]).astype(np.float32)
+        if ref.max() > 1.5:
+            ref = ref / 255.0
+        ref = ref[..., :3]
+        if ref.shape[:2] != (h, w):
+            ref = cv2.resize(ref, (w, h), interpolation=cv2.INTER_AREA)
+
+        diff = np.abs(test - ref)
+        q.mse.append(mse_fn(test, ref))
+        if "psnr" in flags:
+            q.psnr.append(psnr_fn(test, ref))
+        if "ssim" in flags:
+            q.ssim.append(iw_ssim(rgb_to_gray255(ref), rgb_to_gray255(test)))
+        if "flip" in flags:
+            fmap = np.asarray(flip_error_map(ref, test))
+            q.flip.append(float(fmap.mean()))
+            from matplotlib import colormaps
+            q.flip_data.append(
+                (colormaps.get_cmap("magma")(fmap)[..., :3] * 255).astype(np.uint8))
+        q.diff_data.append((diff * 255).astype(np.uint8))
+        q.square_diff_data.append((diff ** 2 * 255).astype(np.uint8))
+
+    import imageio.v2 as imageio
+
+    def write_video(name, frames):
+        path = os.path.join(out_dir, name + ".mp4")
+        try:
+            imageio.mimwrite(path, frames, fps=30, quality=8)
+        except Exception:
+            frame_dir = os.path.join(out_dir, name + "_frames")
+            os.makedirs(frame_dir, exist_ok=True)
+            for fi, fr in enumerate(frames):
+                imageio.imwrite(os.path.join(frame_dir, f"{fi:05d}.png"), fr)
+
+    write_video("_diff", q.diff_data)
+    write_video("_square_diff", q.square_diff_data)
+    if "flip" in flags and q.flip_data:
+        write_video("_flip", q.flip_data)
+
+    default_samples = float(ts.config_file.numRaymarchSamples[-1])
+    with open(os.path.join(out_dir, "image_quality_video.txt"), "w") as f:
+        for idx, m in enumerate(q.mse):
+            f.write(f"image={idx} mse={m:.4f} psnr="
+                    f"{q.psnr[idx] if 'psnr' in flags else -1.0:.4f} "
+                    f"ssim={q.ssim[idx] if 'ssim' in flags else -1.0:.4f} "
+                    f"flip_loss={q.flip[idx] if 'flip' in flags else -1.0:.4f} "
+                    f"samples={default_samples} sparsity=-1.0\r")
+    with open(os.path.join(out_dir, "image_quality_video.csv"), "w") as c:
+        c.write("mse,psnr,ssim,flip,samples,sparsity\r")
+        for idx, m in enumerate(q.mse):
+            c.write(f"{m},{q.psnr[idx] if 'psnr' in flags else -1.0},"
+                    f"{q.ssim[idx] if 'ssim' in flags else -1.0},"
+                    f"{q.flip[idx] if 'flip' in flags else -1.0},"
+                    f"{default_samples},-1.0\r")
+    return q
+
+
 def evaluate(ts, reference_video, evaluations):
     """Evaluation driver (evaluate.py:388-440)."""
     if not hasattr(ts, 'outDir'):
@@ -190,6 +281,15 @@ def evaluate(ts, reference_video, evaluations):
     q = None
     if "images" in evaluations:
         q = generate_data(ts, evaluations)
+
+    if "videos" in evaluations and not ts.config_file.trainWithGTDepth:
+        if reference_video is None:
+            reference_video = load_reference_video(ts.config_file.data)
+        if reference_video is not None:
+            try:
+                generate_video_data(ts, evaluations, reference_video)
+            except FileNotFoundError:
+                print("no cam_path.json — skipping video evaluation")
 
     if "export" in evaluations:
         from ..export import export_artifacts
