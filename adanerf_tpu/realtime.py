@@ -287,12 +287,20 @@ class RealtimeRenderer:
 
     # -- fully on-device frame loop ------------------------------------------
 
-    def make_frame_renderer(self, n_pix: int):
+    def make_frame_renderer(self, n_pix: int, capacity: Optional[int] = None):
         """One jitted program rendering a WHOLE frame: lax.scan over ray
-        batches, with the capacity-bucket choice made in-graph by lax.switch
-        (the viewer's ragged TRT binding, without any host round-trip — the
-        tunnel-attached TPU pays 100ms+ per device->host read, so the frame
-        loop performs none).
+        batches, zero host round-trips (the tunnel-attached TPU pays 100ms+
+        per device->host read).
+
+        Two ragged-dispatch modes (both analogs of the viewer's ragged TRT
+        binding, imagegenerator.cpp:336-344):
+          * capacity=None: in-graph lax.switch over the capacity buckets —
+            fully dynamic, but the switch costs ~14 ms/batch on v5e;
+          * capacity=C: single fixed capacity (pick with
+            ``choose_frame_capacity`` — the TRT optimization-profile pattern;
+            ~1.5x faster). Batches whose live count exceeds C drop their
+            lowest-priority samples, so C is chosen with headroom and bumped
+            when headroom shrinks.
 
         Returns fn(params0, params1, pose, rotation, dirs_full) ->
         (frame (n_pix, 3), n_act_per_batch).
@@ -306,14 +314,17 @@ class RealtimeRenderer:
         def one_batch(params0, params1, pose, rotation, chunk):
             packed, mask, n_act = self._oracle_stage(
                 params0, pose, rotation, chunk)
-            if self.compaction:
+            if not self.compaction:
+                rgb = self._dense_shade_stage(params1, packed, mask)
+            elif capacity is not None:
+                rgb = self._shade_stage(params1, packed, mask,
+                                        capacity=capacity)
+            else:
                 idx = jnp.searchsorted(bounds, n_act)
                 idx = jnp.minimum(idx, len(caps) - 1)
                 branches = [partial(self._shade_stage, capacity=c)
                             for c in caps]
                 rgb = jax.lax.switch(idx, branches, params1, packed, mask)
-            else:
-                rgb = self._dense_shade_stage(params1, packed, mask)
             return rgb, n_act
 
         @jax.jit
@@ -323,14 +334,18 @@ class RealtimeRenderer:
                     [dirs_full, dirs_full[:pad]], axis=0)
             # scan over batches with loop-invariants CLOSED OVER (not carried
             # — a carried 7.7 MB dirs array would be copied every iteration);
-            # the compiled program contains a single batch body
-            dirs_batched = dirs_full.reshape(n_batches, B, 3)
+            # the compiled program contains a single batch body.
+            # Batches INTERLEAVE pixels (batch b = pixels b::n_batches):
+            # contiguous image regions have correlated sample counts, strided
+            # batches concentrate every batch's live count at the mean, which
+            # lets the fixed capacity sit just above the average.
+            dirs_batched = dirs_full.reshape(B, n_batches, 3).transpose(1, 0, 2)
 
             def body(_, chunk):
                 return _, one_batch(params0, params1, pose, rotation, chunk)
 
             _, (rgb, n_acts) = jax.lax.scan(body, 0, dirs_batched)
-            frame = rgb.reshape(n_batches * B, 3)[:n_pix]
+            frame = rgb.transpose(1, 0, 2).reshape(n_batches * B, 3)[:n_pix]
             return frame, n_acts
 
         return render
@@ -340,6 +355,16 @@ class RealtimeRenderer:
             if n_act <= c:
                 return c
         return self.capacities[-1]
+
+    def choose_frame_capacity(self, n_acts, headroom: float = 1.3) -> int:
+        """Fixed frame capacity from measured per-batch live counts (one
+        readback, outside the frame loop): smallest tile multiple covering
+        headroom * max(n_acts)."""
+        max_act = int(np.max(np.asarray(n_acts)))
+        t = self._mlp_tile
+        cap = int(np.ceil(headroom * max_act / t)) * t
+        return min(max(cap, t), ((self.batch_size * self.max_samples + t - 1)
+                                 // t) * t)
 
     def render_rays(self, pose, rotation, dirs, stats: Optional[FrameStats] = None):
         """Render one ray batch; returns (B, 3) rgb."""
