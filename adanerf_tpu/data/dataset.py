@@ -179,9 +179,16 @@ class ViewCellDataset:
                 for i, frame in enumerate(frames):
                     file_path = os.path.join(self.dataset_path,
                                              frame["file_path"][2:])
-                    depth_name = file_path + "_depth.npz"
-                    if os.path.exists(depth_name):
-                        d = self.load_depth_image(depth_name)
+                    d = None
+                    if config.useNerfDepthMap:
+                        nerf_depth = file_path + "_QuantizedWeights_lo_nSD.raw"
+                        if os.path.exists(nerf_depth):
+                            d = self.load_exported_nerf_depth(nerf_depth)
+                    if d is None:
+                        depth_name = file_path + "_depth.npz"
+                        if os.path.exists(depth_name):
+                            d = self.load_depth_image(depth_name)
+                    if d is not None:
                         if depth_images is None:
                             depth_images = np.zeros(
                                 (self.num_items, d.shape[1], d.shape[2], 1),
@@ -257,6 +264,33 @@ class ViewCellDataset:
         np_file = np.load(file_name)
         depth = np_file["depth"] if "depth" in np_file.files else np_file[np_file.files[0]]
         return self.transform_depth_image(depth)
+
+    def load_exported_nerf_depth(self, file_name: str) -> np.ndarray:
+        """Depth from a previously exported NeRF run's quantized-weights dump
+        (datasets.py:339-344). Reads the reference's torch container when
+        torch is importable, or an npz with the same keys."""
+        try:
+            import torch
+            d = torch.load(file_name, map_location="cpu")
+            depth = d["OutputDepthMap"].numpy()
+            exported_range = d["InputDepthRange"].numpy()
+        except (ImportError, Exception):
+            npz = np.load(file_name, allow_pickle=True)
+            depth = npz["OutputDepthMap"]
+            exported_range = npz["InputDepthRange"]
+        raw = self.transform_depth_image(depth, do_not_transform=True)
+        return np.asarray(self.depth_transform.from_world(raw, exported_range))
+
+    def load_nogt_weights(self, file_name: str):
+        """TermiNeRF quantized per-ray weights (datasets.py:409-414): torch
+        `.trch` containers or our `.trch.npy` exports."""
+        if file_name.endswith(".npy"):
+            return np.load(file_name)
+        try:
+            import torch
+            return torch.load(file_name, map_location="cpu").numpy()
+        except ImportError:
+            return None
 
     def image_batch(self, index: int, sample_indices: np.ndarray) -> Dict:
         """Build a host-side DatasetKeys dict for one image + pixel subset."""

@@ -229,6 +229,9 @@ class RealtimeRenderer:
 
         pos = o + d * z_flat[:, None]
         emb = self._encode_samples(pos, d)
+        # stop XLA from fusing the (transcendental-heavy) encoding into the
+        # matmul tiles — recomputation inside the MLP costs ~6 ms/batch
+        emb = jax.lax.optimization_barrier(emb)
         raw = self._apply_nerf(params1, emb)
         sig = jax.nn.sigmoid(raw.astype(jnp.float32))
 
@@ -280,6 +283,7 @@ class RealtimeRenderer:
         pos = origins[:, None, :] + nds[:, None, :] * z_safe[..., None]
         dirs_exp = jnp.broadcast_to(nds[:, None, :], pos.shape)
         emb = self._encode_samples(pos.reshape(-1, 3), dirs_exp.reshape(-1, 3))
+        emb = jax.lax.optimization_barrier(emb)
         raw = self._apply_nerf(params1, emb)
         sig = jax.nn.sigmoid(raw.astype(jnp.float32)).reshape(B, S, 4)
         sig = sig * mask[..., None]
