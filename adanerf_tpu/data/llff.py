@@ -131,3 +131,24 @@ def load_llff_data(basedir, factor=8, recenter=True, bd_factor=0.75,
     dists = np.sum(np.square(c2w[:3, 3] - poses[:, :3, 3]), -1)
     i_test = int(np.argmin(dists))
     return images, poses, bds, render_poses, i_test
+
+
+def load_llff_data_nex(basedir, factor=8, recenter=True, bd_factor=0.75,
+                       spherify=False):
+    """NeX-style LLFF loading variant (reference: load_llff_nex.py:260-366):
+    intrinsics come from ``hwf_cxcy.npy`` ([h, w, f, cx, cy]) when present,
+    and are returned separately instead of being baked into the pose array.
+
+    Returns (images, poses, bds, render_poses, i_test, intrinsic) where
+    intrinsic = [h, w, f] (+ [cx, cy] when hwf_cxcy.npy exists)."""
+    hwf_path = os.path.join(basedir, "hwf_cxcy.npy")
+    images, poses, bds, render_poses, i_test = load_llff_data(
+        basedir, factor, recenter, bd_factor, spherify)
+    if os.path.exists(hwf_path):
+        intrinsic = np.load(hwf_path).astype(np.float64)
+        f = factor if factor else 1
+        intrinsic = np.concatenate([intrinsic[:2] / f, intrinsic[2:] / f])
+        intrinsic[:2] = np.round(intrinsic[:2])
+    else:
+        intrinsic = poses[0, :3, 4].copy()
+    return images, poses, bds, render_poses, i_test, intrinsic

@@ -18,13 +18,21 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('-dir', '--dir', default="", type=str)
     p.add_argument('-factor', '--factor', default=None, type=int)
+    p.add_argument('-nex', '--nex', default=0, type=int,
+                   help="use the NeX-style loader (hwf_cxcy.npy intrinsics)")
     cl = p.parse_args()
 
-    from adanerf_tpu.data.llff import load_llff_data
+    from adanerf_tpu.data.llff import load_llff_data, load_llff_data_nex
 
-    images, poses, bds, render_poses, i_test = load_llff_data(
-        cl.dir, cl.factor, recenter=True, bd_factor=0.75, spherify=False)
-    hwf = poses[0, :3, -1]
+    if cl.nex == 0:
+        images, poses, bds, render_poses, i_test = load_llff_data(
+            cl.dir, cl.factor, recenter=True, bd_factor=0.75, spherify=False)
+        hwf = poses[0, :3, -1]
+    else:
+        images, poses, bds, render_poses, i_test, intrinsic = \
+            load_llff_data_nex(cl.dir, cl.factor, recenter=True,
+                               bd_factor=0.75, spherify=False)
+        hwf = np.asarray(intrinsic[:3]).flatten()
     poses = poses[:, :3, :4]
 
     llff_hold = 8

@@ -34,7 +34,7 @@ def main():
 
     for samples, n_raymarch, width, layers, label in [
             (2048, 128, 256, 8, "reference workload (2x2048 rays, 128 smp)"),
-            (8192, 128, 256, 8, "TPU-sized batch (2x8192 rays, 128 smp)")]:
+            (4096, 128, 256, 8, "TPU-sized batch (2x4096 rays, 128 smp)")]:
         args = [
             "-data", scene_dir, "-log", "/tmp/bench_train_logs",
             "--depthTransform", "log", "--scale", "1",
@@ -70,6 +70,8 @@ def main():
             "--lossBlendingStart", "25000", "--lossBlendingDuration", "50000",
             "--bf16",
         ]
+        from adanerf_tpu.config import Config as _C
+        _C.reset() if hasattr(_C, 'reset') else None
         config = Config.init(argv=args)
         ts = TrainState()
         ts.initialize(config)
@@ -78,10 +80,14 @@ def main():
         batch, targets = ts.assemble_train_batch(ts.train_dataset,
                                                  np.array([0, 1]))
         # compile
-        ts.params, ts.opt_states, per = step(ts.params, ts.opt_states, batch,
-                                             targets, jnp.asarray(0),
-                                             jax.random.PRNGKey(0))
-        float(per[1])
+        try:
+            ts.params, ts.opt_states, per = step(ts.params, ts.opt_states,
+                                                 batch, targets, jnp.asarray(0),
+                                                 jax.random.PRNGKey(0))
+            float(per[1])
+        except Exception as e:
+            print(f"{label}: FAILED to compile ({type(e).__name__})")
+            continue
 
         def run(n):
             t0 = time.perf_counter()
@@ -93,8 +99,12 @@ def main():
             float(p[1])
             return time.perf_counter() - t0
 
-        d1 = run(5)
-        d2 = run(45)
+        try:
+            d1 = run(5)
+            d2 = run(45)
+        except Exception as e:
+            print(f"{label}: FAILED ({type(e).__name__})")
+            continue
         per_step = (d2 - d1) / 40
         total_rays = 2 * samples
         print(f"{label}: {per_step * 1e3:.2f} ms/step "
