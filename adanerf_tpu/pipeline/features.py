@@ -616,6 +616,10 @@ class RayMarchFromPoses(FeatureSet):
         dirs_exp = jnp.broadcast_to(ray_directions[:, None, :], positions.shape)
         emb_dirs = self.dir_enc(dirs_exp.reshape(-1, 3))
         embedded = jnp.concatenate([embedded, emb_dirs], axis=-1)
+        # keep XLA from fusing the transcendental encoding into the MLP's
+        # matmul tiles (it recomputes sin/cos per tile otherwise; the barrier
+        # is gradient-transparent)
+        embedded = jax.lax.optimization_barrier(embedded)
         embedded = embedded.reshape(n_rays, S_dim, -1)
 
         ret = {FSK.input_feature_batch: embedded,
