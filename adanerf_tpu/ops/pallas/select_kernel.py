@@ -28,6 +28,16 @@ LANE = 128
 COUNT_LANE = 127  # lane holding the per-ray live-sample count (as float)
 
 
+def _lane_cumsum(x_f32):
+    """Inclusive cumsum along the 128-lane axis as one MXU matmul with an
+    upper-triangular ones matrix (Pallas TPU has no cumsum lowering)."""
+    T, D = x_f32.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    tri = (rows <= cols).astype(jnp.float32)
+    return jnp.dot(x_f32, tri, preferred_element_type=jnp.float32)
+
+
 def _select_pack_kernel(oracle_ref, odin_ref, out_ref, *, max_samples: int,
                         threshold: float, to_world: Callable):
     d = oracle_ref[:].astype(jnp.float32)            # (T, D)
@@ -48,7 +58,7 @@ def _select_pack_kernel(oracle_ref, odin_ref, out_ref, *, max_samples: int,
     above = d > v_k
     n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
     ties = d == v_k
-    tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=1)
+    tie_rank = _lane_cumsum(ties.astype(jnp.float32)).astype(jnp.int32)
     keep = above | (ties & (tie_rank <= (S - n_above)))
     keep = keep & (d >= threshold)
 
@@ -58,24 +68,27 @@ def _select_pack_kernel(oracle_ref, odin_ref, out_ref, *, max_samples: int,
     am_first = jnp.min(jnp.where(d == dmax, iota, D), axis=1, keepdims=True)
     keep = keep | (jnp.logical_not(any_keep) & (iota == am_first))
 
-    rowcum = jnp.cumsum(keep.astype(jnp.int32), axis=1)
-    n_per_ray = rowcum[:, -1]
+    rowcum = _lane_cumsum(keep.astype(jnp.float32)).astype(jnp.int32)
+    n_per_ray = jnp.sum(keep.astype(jnp.int32), axis=1)
 
     keep_f = keep.astype(jnp.float32)
     iota_f = iota.astype(jnp.float32)
 
-    out = jnp.zeros((T, LANE), jnp.float32)
-    out = out.at[:, 0:6].set(odin_ref[:, 0:6])
+    z_cols = []
+    p_cols = []
     for s in range(S):
         sel = keep_f * (rowcum == (s + 1)).astype(jnp.float32)
         bin_s = jnp.sum(iota_f * sel, axis=1)
         prob_s = jnp.sum(d * sel, axis=1)
         live = (s < n_per_ray).astype(jnp.float32)
         z_world = to_world((bin_s + 0.5) * cell) * live
-        out = out.at[:, 6 + s].set(z_world)
-        out = out.at[:, 6 + S + s].set(prob_s * live)
-    out = out.at[:, COUNT_LANE].set(n_per_ray.astype(jnp.float32))
-    out_ref[:] = out
+        z_cols.append(z_world[:, None])
+        p_cols.append((prob_s * live)[:, None])
+
+    pad = jnp.zeros((T, LANE - 6 - 2 * S - 1), jnp.float32)
+    count = n_per_ray.astype(jnp.float32)[:, None]
+    out_ref[:] = jnp.concatenate(
+        [odin_ref[:, 0:6]] + z_cols + p_cols + [pad, count], axis=1)
 
 
 @functools.partial(jax.jit,
@@ -88,7 +101,7 @@ def select_pack_pallas(oracle_out, odin, *, max_samples: int, threshold: float,
     lanes are [origin, direction]. Returns packed (B, 128) rows:
     [o | d | z_world(K) | probs(K) | 0... | count]."""
     B, D = oracle_out.shape
-    assert B % tile == 0, (B, tile)
+    assert B % tile == 0 and tile % 8 == 0, (B, tile)
     kernel = functools.partial(_select_pack_kernel, max_samples=max_samples,
                                threshold=threshold, to_world=to_world)
     return pl.pallas_call(

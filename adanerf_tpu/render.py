@@ -232,6 +232,13 @@ def render_all_imgs(ts, subfolder_name="", dataset_name="test"):
                 quant = (extras[FSK.nerf_weights_output] * 255).astype(np.uint8)
                 np.save(os.path.join(out_dir, f"{base}_weights.trch.npy"), quant)
 
+        if FSK.nerf_estimated_depth not in extras:
+            # non-raymarch final nets: dump the raw collected channels
+            # (plots.py:311-315 .raw export)
+            for key, value in extras.items():
+                np.save(os.path.join(
+                    out_dir, f"{i}_{key}_{raw_save_suffix}.raw.npy"), value)
+
         if dataset.color_images is not None:
             target = dataset.color_images[i].reshape(-1, 3)
             psnrs.append(calculate_psnr(calculate_mse(target - imgs[-1])))
