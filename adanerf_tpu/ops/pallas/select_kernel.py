@@ -11,6 +11,12 @@ geometry and one write of the packed rows.
 
 Semantics identical to ``ops.samplers.adaptive_select`` (the jnp twin);
 equivalence is tested in interpret mode and on random inputs with ties.
+
+Status: measured at 7.4-9.9 ms/batch (80k rays, v5e) vs 6.9 ms for the
+fused-XLA twin — the K serial argmax rounds don't vectorize better in Mosaic
+than in XLA, so the production path (realtime.py) uses the jnp twin; this
+kernel remains the verified scaffold for a future single-kernel
+select+gather+shade fusion.
 """
 
 from __future__ import annotations
