@@ -155,7 +155,16 @@ def train(ts: TrainState):
     best_val_loss = sys.float_info.max if ts.best_valid_loss is None \
         else ts.best_valid_loss
 
-    step = ts.make_train_step()
+    # multi-device: shard the ray axis over a 1-D mesh when requested and
+    # more than one device is present (adanerf_tpu/parallel/mesh.py)
+    place = None
+    if c.meshDevices != 1 and len(jax.devices()) > 1:
+        from adanerf_tpu.parallel.mesh import make_mesh, shard_train_step
+        mesh = make_mesh(c.meshDevices)
+        step, place = shard_train_step(ts, mesh)
+        print(f"data-parallel over {mesh.devices.size} devices (rays axis)")
+    else:
+        step = ts.make_train_step()
     n_images = len(ts.train_dataset)
     batch_images = c.batchImages if c.batchImages != -1 else n_images
 
@@ -174,6 +183,9 @@ def train(ts: TrainState):
 
     for epoch in tqdm_range:
         batch, targets = next(prefetcher)
+        if place is not None:
+            ts.params, ts.opt_states, batch, targets = place(
+                ts.params, ts.opt_states, batch, targets)
         ts.params, ts.opt_states, per_net = step(
             ts.params, ts.opt_states, batch, targets, jnp.asarray(epoch),
             jax.random.PRNGKey(epoch))
