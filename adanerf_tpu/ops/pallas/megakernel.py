@@ -1,0 +1,306 @@
+"""Fused frame "megakernel": the whole AdaNeRF inference pipeline — ray
+setup, oracle MLP, adaptive select, shading MLP at every slot, and per-ray
+compositing — as ONE Pallas kernel over ray tiles, with both networks'
+weights resident in VMEM for the kernel's lifetime.
+
+This is the TPU counterpart of the viewer's whole-frame CUDA+TensorRT loop
+(imagegenerator.cpp:247-478) collapsed into a single launch: HBM traffic is
+one read of the camera-space dirs and one write of the rgb tile; everything
+else lives in VMEM.
+
+v1 evaluates the shading MLP at ALL max_samples slots (dead slots masked in
+the composite) — the XLA pipeline's compaction is replaced by raw fusion.
+v2 (planned) sorts rays by live count so sample COLUMNS become
+prefix-dense and whole columns can be skipped per tile via scalar-prefetched
+counts.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mlp_kernels import pack_nerf_weights
+from .select_kernel import _lane_cumsum
+
+LANE = 128
+
+
+def pack_oracle_weights(oracle_def, params, dtype=jnp.bfloat16):
+    """BaseNet weights padded to 128-multiples: w0 (in_pad, W), wh_i, bias."""
+    packed = {}
+    n_in = oracle_def.n_in
+    in_pad = LANE * math.ceil(n_in / LANE)
+    w0 = params[0]["w"].astype(dtype)
+    packed["w0"] = jnp.zeros((in_pad, oracle_def.width), dtype) \
+        .at[:n_in].set(w0)
+    packed["b0"] = params[0]["b"].astype(jnp.float32).reshape(1, -1)
+    for i in range(1, oracle_def.depth):
+        packed[f"w{i}"] = params[i]["w"].astype(dtype)
+        packed[f"b{i}"] = params[i]["b"].astype(jnp.float32).reshape(1, -1)
+    return packed
+
+
+def _oracle_mlp(w, x, depth):
+    h = jnp.dot(x, w["w0"][:], preferred_element_type=jnp.float32) + w["b0"][:]
+    h = jax.nn.relu(h)
+    dtype = w["w0"].dtype
+    for i in range(1, depth):
+        h = jnp.dot(h.astype(dtype), w[f"w{i}"][:],
+                    preferred_element_type=jnp.float32) + w[f"b{i}"][:]
+        if i + 1 < depth:
+            h = jax.nn.relu(h)
+    return h
+
+
+def _nerf_mlp(w, x, nerf_def):
+    """x: (N, in_pad) bf16 [pos | dirs | 0]; returns (N, 4ish) f32 raw."""
+    dtype = w["w0"].dtype
+    skips = set(nerf_def.skips)
+    h = jnp.dot(x, w["w0"][:], preferred_element_type=jnp.float32) + w["b0"][:]
+    h = jax.nn.relu(h)
+    for i in range(1, nerf_def.depth):
+        hi = jnp.dot(h.astype(dtype), w[f"wh{i}"][:],
+                     preferred_element_type=jnp.float32)
+        if (i - 1) in skips:
+            hi = hi + jnp.dot(x, w[f"wx{i}"][:],
+                              preferred_element_type=jnp.float32)
+        h = jax.nn.relu(hi + w[f"b{i}"][:])
+    hb = h.astype(dtype)
+    alpha = jnp.dot(hb, w["wa"][:], preferred_element_type=jnp.float32) \
+        + w["ba"][:]
+    feat = jnp.dot(hb, w["wf"][:], preferred_element_type=jnp.float32) \
+        + w["bf"][:]
+    hv = jnp.dot(feat.astype(dtype), w["wv_f"][:],
+                 preferred_element_type=jnp.float32) \
+        + jnp.dot(x, w["wv_d"][:], preferred_element_type=jnp.float32) \
+        + w["bv"][:]
+    hv = jax.nn.relu(hv)
+    rgb = jnp.dot(hv.astype(dtype), w["wrgb"][:],
+                  preferred_element_type=jnp.float32) + w["brgb"][:]
+    return rgb, alpha
+
+
+def _freq_encode_cols(x_cols, n_freqs):
+    """x_cols: list of (N, 1) coordinate columns -> (N, C*(2F+1)) encoding
+    in [x, sin f0 x, cos f0 x, ...] layout matching ops.encoding."""
+    outs = list(x_cols)
+    for f in (2.0 ** np.arange(n_freqs)).astype(np.float32):
+        for c in x_cols:
+            outs.append(jnp.sin(c * f))
+        for c in x_cols:
+            outs.append(jnp.cos(c * f))
+    return outs
+
+
+def _encode_interleaved(x_cols, n_freqs):
+    """Match positional_encode exactly: [x, sinF0(x), cosF0(x), sinF1...]
+    where each block spans all C coordinates."""
+    return _freq_encode_cols(x_cols, n_freqs)
+
+
+def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
+                    interpret: bool = False):
+    """Build fn(packed_oracle, packed_nerf, pose8, rot_pad, dirs_pad) ->
+    (rgb (B, 128 [rgb|count]),) fused frame pipeline.
+
+    dirs_pad: (B, 128) rows [dir(3) | 0...] camera-space unit dirs.
+    pose8: (1, 128) [pose(3) | 0]; rot_pad: (128, 128) with rot^T in [:3,:3].
+    """
+    S = config.numRaymarchSamples[1]
+    threshold = float(config.adaptiveSamplingThreshold)
+    D = oracle_def.n_out
+    cell = 1.0 / D
+    args0 = [int(x) for x in config.posEncArgs[0].split('-')]
+    args1 = [int(x) for x in config.posEncArgs[1].split('-')]
+    fp0, fd0 = args0
+    fp1, fd1 = args1
+    center = np.asarray(scene.view_cell_center, np.float32)
+    radius = float(scene.view_cell_radius)
+    max_depth = float(scene.depth_max)
+    sqrt_max_depth = math.sqrt(max_depth)
+    dr = scene.depth_range_warped
+    transform = scene.depth_transform
+    acc_alpha = (config.accumulationMult == "alpha")
+
+    nerf_in_pad = LANE  # 63 + 27 <= 128
+
+    def kernel(dirs_ref, pose_ref, rot_ref, *wrefs):
+        n_ow = len(_ORACLE_KEYS)
+        ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
+        nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-1])}
+        out_ref = wrefs[-1]
+
+        T = tile
+        dirs_pad = dirs_ref[:]                       # (T, 128) [d3|0]
+        pose = pose_ref[:]                           # (1, 128) [p3|0]
+
+        # world dirs: (T,128)[:, :3] via padded matmul with rot^T
+        nds_pad = jnp.dot(dirs_pad, rot_ref[:],
+                          preferred_element_type=jnp.float32)  # (T,128)
+        ndx = nds_pad[:, 0:1]
+        ndy = nds_pad[:, 1:2]
+        ndz = nds_pad[:, 2:3]
+
+        px = pose[:, 0:1]
+        py = pose[:, 1:2]
+        pz = pose[:, 2:3]
+        ox = jnp.broadcast_to(px, (T, 1))
+        oy = jnp.broadcast_to(py, (T, 1))
+        oz = jnp.broadcast_to(pz, (T, 1))
+
+        # ray-sphere exit distance (features.py:768-791)
+        omcx = ox - center[0]
+        omcy = oy - center[1]
+        omcz = oz - center[2]
+        u_dot = ndx * omcx + ndy * omcy + ndz * omcz
+        delta = u_dot * u_dot - (omcx ** 2 + omcy ** 2 + omcz ** 2
+                                 - radius * radius)
+        dist = -u_dot + jnp.sqrt(jnp.maximum(delta, 0.0))
+        prx = ox + ndx * dist
+        pry = oy + ndy * dist
+        prz = oz + ndz * dist
+
+        # oracle input: [dir_enc(d), pos_enc(proj)] (features.py:866-871)
+        enc_d = _encode_interleaved([ndx, ndy, ndz], fd0)
+        enc_p = _encode_interleaved([prx, pry, prz], fp0)
+        ocols = enc_d + enc_p
+        o_in_w = len(ocols)
+        pad_w = LANE * math.ceil(o_in_w / LANE) - o_in_w
+        x0 = jnp.concatenate(
+            ocols + [jnp.zeros((T, pad_w), jnp.float32)], axis=1)
+        oracle_out = _oracle_mlp(ow, x0.astype(ow["w0"].dtype),
+                                 oracle_def.depth)[:, :D]
+
+        # adaptive select (threshold/top-S, bin order) — select_kernel body
+        d = oracle_out
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
+        work = d
+        v_k = None
+        for _ in range(S):
+            v_k = jnp.max(work, axis=1, keepdims=True)
+            first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
+                            keepdims=True)
+            work = jnp.where(iota == first, jnp.float32(-jnp.inf), work)
+        above = d > v_k
+        n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
+        ties = d == v_k
+        tie_rank = _lane_cumsum(ties.astype(jnp.float32)).astype(jnp.int32)
+        keep = above | (ties & (tie_rank <= (S - n_above)))
+        if threshold > 0.0:
+            keep = keep & (d >= threshold)
+        any_keep = jnp.any(keep, axis=1, keepdims=True)
+        dmax = jnp.max(d, axis=1, keepdims=True)
+        am = jnp.min(jnp.where(d == dmax, iota, D), axis=1, keepdims=True)
+        keep = keep | (jnp.logical_not(any_keep) & (iota == am))
+        rowcum = _lane_cumsum(keep.astype(jnp.float32)).astype(jnp.int32)
+        n_per = jnp.sum(keep.astype(jnp.int32), axis=1)
+
+        keep_f = keep.astype(jnp.float32)
+        iota_f = iota.astype(jnp.float32)
+
+        # per-slot shading + streaming composite (front-to-back)
+        trans = jnp.ones((T, 1), jnp.float32)
+        acc_r = jnp.zeros((T, 1), jnp.float32)
+        acc_g = jnp.zeros((T, 1), jnp.float32)
+        acc_b = jnp.zeros((T, 1), jnp.float32)
+        for s in range(S):
+            sel = keep_f * (rowcum == (s + 1)).astype(jnp.float32)
+            bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
+            prob_s = jnp.sum(d * sel, axis=1, keepdims=True)
+            live = (jnp.sum(sel, axis=1, keepdims=True) > 0).astype(jnp.float32)
+            z = transform.to_world((bin_s + 0.5) * cell, dr)
+
+            sx = prx + ndx * z
+            sy = pry + ndy * z
+            sz = prz + ndz * z
+            # InverseSqrtDistCentered normalization
+            lx = sx - center[0]
+            ly = sy - center[1]
+            lz = sz - center[2]
+            norm = jnp.sqrt(jnp.sqrt(lx * lx + ly * ly + lz * lz))
+            inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
+            qx = lx * inv
+            qy = ly * inv
+            qz = lz * inv
+
+            enc_pos = _encode_interleaved([qx, qy, qz], fp1)
+            enc_dir = _encode_interleaved([ndx, ndy, ndz], fd1)
+            cols = enc_pos + enc_dir
+            padw = nerf_in_pad - len(cols)
+            x1 = jnp.concatenate(
+                cols + [jnp.zeros((T, padw), jnp.float32)], axis=1)
+            rgb_raw, alpha_raw = _nerf_mlp(nw, x1.astype(nw["w0"].dtype),
+                                           nerf_def)
+
+            sig_a = jax.nn.sigmoid(alpha_raw[:, 0:1]) * live
+            if acc_alpha:
+                sig_a = sig_a * prob_s
+            w_s = sig_a * trans
+            trans = trans * (1.0 - sig_a + 1e-10)
+            acc_r = acc_r + w_s * jax.nn.sigmoid(rgb_raw[:, 0:1])
+            acc_g = acc_g + w_s * jax.nn.sigmoid(rgb_raw[:, 1:2])
+            acc_b = acc_b + w_s * jax.nn.sigmoid(rgb_raw[:, 2:3])
+
+        count = n_per.astype(jnp.float32)[:, None]
+        pad = jnp.zeros((T, LANE - 4), jnp.float32)
+        out_ref[:] = jnp.concatenate([acc_r, acc_g, acc_b, count, pad], axis=1)
+
+    _ORACLE_KEYS = None  # filled below
+    _NERF_KEYS = None
+
+    def build(packed_oracle, packed_nerf):
+        nonlocal _ORACLE_KEYS, _NERF_KEYS
+        _ORACLE_KEYS = sorted(packed_oracle.keys())
+        _NERF_KEYS = sorted(packed_nerf.keys())
+
+        @jax.jit
+        def run(dirs_pad, pose8, rot_pad):
+            B = dirs_pad.shape[0]
+            in_specs = [pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, LANE), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)]
+            ws = []
+            for k in _ORACLE_KEYS:
+                w = packed_oracle[k]
+                in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(w)
+            for k in _NERF_KEYS:
+                w = packed_nerf[k]
+                in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(w)
+            return pl.pallas_call(
+                kernel,
+                grid=(B // tile,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
+                interpret=interpret,
+            )(dirs_pad, pose8, rot_pad, *ws)
+
+        return run
+
+    return build
+
+
+def prep_inputs(directions, pose, rotation):
+    """Host-side packing of the megakernel inputs."""
+    B = directions.shape[0]
+    dirs_pad = jnp.zeros((B, LANE), jnp.float32).at[:, :3].set(directions)
+    pose8 = jnp.zeros((1, LANE), jnp.float32).at[0, :3].set(pose)
+    rot_pad = jnp.zeros((LANE, LANE), jnp.float32) \
+        .at[:3, :3].set(jnp.asarray(rotation).T)
+    return dirs_pad, pose8, rot_pad

@@ -45,7 +45,7 @@ def pack_nerf_weights(nerf_def, params: Dict, dtype=jnp.bfloat16):
     in_ch = nerf_def.input_ch
     in_views = nerf_def.input_ch_views
     skips = set(nerf_def.skips)
-    assert W % LANE == 0, "width must be a multiple of 128"
+    # widths that aren't 128-multiples compile but waste MXU lanes
     in_pad = LANE * math.ceil((in_ch + in_views) / LANE)
 
     packed = {}
