@@ -291,6 +291,23 @@ def evaluate(ts, reference_video, evaluations):
             except FileNotFoundError:
                 print("no cam_path.json — skipping video evaluation")
 
+    if "output_videos" in evaluations and not ts.config_file.trainWithGTDepth:
+        # render the requested camera paths (evaluate.py:421-433)
+        cam_paths = getattr(ts, "evaluation_cam_path", None) or \
+            ([ts.config_file.camPath] if ts.config_file.camPath else [])
+        for cam_path in cam_paths:
+            saved = (ts.config_file.camType, ts.config_file.camPath,
+                     ts.config_file.videoFrames)
+            ts.config_file.camPath = cam_path
+            ts.config_file.camType = "PredefinedCamera"
+            ts.config_file.videoFrames = -1
+            try:
+                render_video(ts, vid_name=cam_path, out_dir=ts.outDir)
+            except FileNotFoundError:
+                print(f"no {cam_path}.json — skipping output video")
+            (ts.config_file.camType, ts.config_file.camPath,
+             ts.config_file.videoFrames) = saved
+
     if "export" in evaluations:
         from ..export import export_artifacts
         export_artifacts(ts, os.path.join(ts.outDir, "exported_model"))

@@ -96,7 +96,13 @@ def validate_batch(ts: TrainState, epoch, train_loss, model_idx=-1):
 
 
 def pre_train(ts: TrainState):
-    """Optional per-net GT pretraining (reference: src/train.py:144-261)."""
+    """Optional per-net GT pretraining (reference: src/train.py:144-261).
+
+    Like the reference, pretraining applies the loss to the RAW network
+    output (no postprocess), so it is meaningful for nets whose loss acts on
+    raw outputs (the oracle with ClassifiedDepth/BCE targets); the shipped
+    AdaNeRF configs use epochsPretrain=[-1,-1].
+    """
     c = ts.config_file
     if not c.epochsPretrain:
         return
