@@ -357,6 +357,27 @@ class TrainState:
             save_tree(os.path.join(self.logDir, f"{name_suffix}.scale"),
                       {"scale": np.float32(1.0), "growth_tracker": np.int32(0)})
 
+    def delete_saved_weights(self, model_idx: int = -1):
+        """Prune old checkpoints: keep the newest 10 plus every 50k-epoch one
+        (reference: models.py:92-103; call sites are disabled there too —
+        train_data.py:325 — so the trainer never invokes this automatically).
+        """
+        for i, d in enumerate(self.model_defs):
+            if model_idx not in (-1, i):
+                continue
+            ckpts = self._ckpt_candidates(self.logDir, d.name)
+            for f in ckpts[:-10]:
+                try:
+                    epoch = int(f.split('.weights')[0].split('_')[-1])
+                except ValueError:
+                    continue
+                if epoch % 50000 == 0 and epoch > 0:
+                    continue
+                os.remove(f)
+                opt = f.split('.weights')[0] + '.optimizer'
+                if os.path.exists(opt):
+                    os.remove(opt)
+
     def _ckpt_candidates(self, path: str, name: str, include_opt=False):
         try:
             files = sorted(os.listdir(path))
