@@ -127,7 +127,10 @@ def xml_lines(results):
     yield "</experiments>\r"
 
 
+from adanerf_tpu.platform import apply_platform_env
+
 def main():
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument('-d', '--directory', required=True, type=str)
     p.add_argument('-f', '--format', default='csv', choices=["csv", "xml"])

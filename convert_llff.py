@@ -14,7 +14,10 @@ def listify_matrix(matrix):
     return [[float(v) for v in row] for row in matrix]
 
 
+from adanerf_tpu.platform import apply_platform_env
+
 def main():
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument('-dir', '--dir', default="", type=str)
     p.add_argument('-factor', '--factor', default=None, type=int)

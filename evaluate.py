@@ -8,7 +8,10 @@ import os
 import sys
 
 
+from adanerf_tpu.platform import apply_platform_env
+
 def main():
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument('-data', '--data', required=True, type=str)
     p.add_argument('-log', '--logDir', required=True, type=str)

@@ -9,7 +9,10 @@ from adanerf_tpu.export import export_artifacts
 from adanerf_tpu.train_state import TrainState
 
 
+from adanerf_tpu.platform import apply_platform_env
+
 def main():
+    apply_platform_env()
     config = Config.init(only_known_args=True)
     ts = TrainState()
     ts.initialize(config, training=False)

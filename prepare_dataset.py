@@ -59,7 +59,10 @@ def warped_min_max(depth_unit, max_depth_locations, depth_range, transform,
     return min_v, dw.max()
 
 
+from adanerf_tpu.platform import apply_platform_env
+
 def main():
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("-data", "--dataset", required=True, type=str)
     p.add_argument("-d", "--device", type=int, default=0)

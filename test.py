@@ -7,7 +7,10 @@ from adanerf_tpu.render import render_all_imgs, render_video
 from adanerf_tpu.train_state import TrainState
 
 
+from adanerf_tpu.platform import apply_platform_env
+
 def main():
+    apply_platform_env()
     config = Config.init(only_known_args=True)
     ts = TrainState()
     ts.initialize(config)

@@ -254,7 +254,10 @@ def train(ts: TrainState):
     prefetcher.close()
 
 
+from adanerf_tpu.platform import apply_platform_env
+
 def main():
+    apply_platform_env()
     config = Config.init()
     ts = TrainState()
     ts.initialize(config)

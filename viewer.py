@@ -117,7 +117,10 @@ def orbit_poses(center, radius, n, phase=0.0):
     return poses
 
 
+from adanerf_tpu.platform import apply_platform_env
+
 def main(argv=None):
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("model_dir", type=str)
     p.add_argument("-s", "--size", nargs=2, type=int, default=[800, 800])
