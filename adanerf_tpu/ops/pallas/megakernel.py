@@ -206,12 +206,11 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
         keep_f = keep.astype(jnp.float32)
         iota_f = iota.astype(jnp.float32)
 
-        # per-slot shading + streaming composite (front-to-back)
-        trans = jnp.ones((T, 1), jnp.float32)
-        acc_r = jnp.zeros((T, 1), jnp.float32)
-        acc_g = jnp.zeros((T, 1), jnp.float32)
-        acc_b = jnp.zeros((T, 1), jnp.float32)
-        for s in range(S):
+        # per-slot shading + streaming composite (front-to-back); the slot
+        # dimension LOOPS (lax.fori_loop) instead of unrolling — an unrolled
+        # body (~100 matmuls) blew Mosaic's compile time past 50 minutes
+        def slot_body(s, carry):
+            trans, acc_r, acc_g, acc_b = carry
             sel = keep_f * (rowcum == (s + 1)).astype(jnp.float32)
             bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
             prob_s = jnp.sum(d * sel, axis=1, keepdims=True)
@@ -248,6 +247,13 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
             acc_r = acc_r + w_s * jax.nn.sigmoid(rgb_raw[:, 0:1])
             acc_g = acc_g + w_s * jax.nn.sigmoid(rgb_raw[:, 1:2])
             acc_b = acc_b + w_s * jax.nn.sigmoid(rgb_raw[:, 2:3])
+            return trans, acc_r, acc_g, acc_b
+
+        init = (jnp.ones((T, 1), jnp.float32),
+                jnp.zeros((T, 1), jnp.float32),
+                jnp.zeros((T, 1), jnp.float32),
+                jnp.zeros((T, 1), jnp.float32))
+        trans, acc_r, acc_g, acc_b = jax.lax.fori_loop(0, S, slot_body, init)
 
         count = n_per.astype(jnp.float32)[:, None]
         pad = jnp.zeros((T, LANE - 4), jnp.float32)
