@@ -10,7 +10,6 @@ rescale by the near bound, and generate the spiral render path.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
 
 import numpy as np
 

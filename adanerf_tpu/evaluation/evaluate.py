@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 import re
 from shutil import copyfile
-from typing import List, Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ profiles). The shading MLP then runs on a dense, fully-utilized MXU batch.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mlp_kernels import pack_nerf_weights
 from .select_kernel import _lane_cumsum
 
 LANE = 128

@@ -22,7 +22,7 @@ select+gather+shade fusion.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ reference's zero-filled ``restored`` buffer.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

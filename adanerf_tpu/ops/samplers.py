@@ -16,8 +16,6 @@ in inference, see ops/compaction.py).
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,10 +14,9 @@ the same mesh via jax.distributed.initialize (DCN only for init/checkpoint).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -8,10 +8,9 @@ stage outputs, the model runs, and the input feature's postprocess composites.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
-import jax.numpy as jnp
 
 from .keys import FSK
 

@@ -18,20 +18,18 @@ ops/compaction.py.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.mlp import BaseNetDef
 from ..ops import samplers as S
-from ..ops.encoding import encoded_width, get_encoder
+from ..ops.encoding import get_encoder
 from ..ops.normalization import get_normalization, get_normalization_abbr
 from ..ops.raymarch import (adaptive_raw2outputs_masked, ndc_rays,
-                            nerf_raw2outputs, ray_sphere_offset,
-                            rotate_ray_dirs, sample_pdf)
+                            nerf_raw2outputs, ray_sphere_offset, sample_pdf)
 from .keys import FSK, DatasetKeys
 
 

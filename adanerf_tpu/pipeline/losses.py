@@ -8,7 +8,6 @@ as a traced value so the blending schedule compiles into the training step.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,13 +25,12 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.compaction import compact_indices, scatter_back
 from .ops.encoding import get_encoder
 from .ops.normalization import get_normalization
 from .ops.raymarch import ray_sphere_offset

@@ -12,8 +12,7 @@ from __future__ import annotations
 
 import os
 import re
-from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
