@@ -13,6 +13,13 @@ the composite) — the XLA pipeline's compaction is replaced by raw fusion.
 v2 (planned) sorts rays by live count so sample COLUMNS become
 prefix-dense and whole columns can be skipped per tile via scalar-prefetched
 counts.
+
+Status (round 1): exactly matches the XLA pipeline in interpret mode
+(tests/test_megakernel.py); on v5e it compiles in ~4 min (the TRT-build
+analog) but runs at 733 ms/frame vs the XLA pipeline's 154 ms — the
+fori_loop-serialized slots and (tile,1)-column scalar plumbing waste the VPU.
+Round-2 work: bf16 intermediates, (tile, 8)-batched slot math, column
+skipping with count-sorted rays.
 """
 
 from __future__ import annotations
