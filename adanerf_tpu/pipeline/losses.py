@@ -62,10 +62,11 @@ class MultiDepthLimitedMSELoss:
 
         def assign(carry, i):
             out_cpy, resort = carry
-            sel_t = targets[:, i:i + 1]
+            sel_t = jax.lax.dynamic_slice_in_dim(targets, i, 1, axis=1)
             ids = jnp.argmin(jnp.abs(out_cpy - sel_t), axis=-1)
             out_cpy = out_cpy.at[jnp.arange(out_cpy.shape[0]), ids].set(big)
-            resort = resort.at[:, i].set(ids)
+            resort = jax.lax.dynamic_update_slice_in_dim(
+                resort, ids[:, None], i, axis=1)
             return (out_cpy, resort), None
 
         out_cpy = jax.lax.stop_gradient(outputs)
