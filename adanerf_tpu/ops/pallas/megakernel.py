@@ -111,6 +111,55 @@ def _encode_interleaved(x_cols, n_freqs):
     return _freq_encode_cols(x_cols, n_freqs)
 
 
+def lane_encode_tables(blocks, n_coords=8, lanes=LANE):
+    """Constant tables for LANE-PACKED frequency encoding.
+
+    A naive per-column encode builds ~90 (T,1) arrays, each occupying a full
+    (8,128) register tile (127/128 lanes wasted). Instead, the whole encoded
+    row is computed as
+        arg = (coords @ SEL) * FREQ
+        enc = IDENT*arg + SIN*sin(arg) + COS*cos(arg)
+    — one tiny (T,n_coords)x(n_coords,128) matmul and ONE sin + ONE cos over
+    (T,128).
+
+    blocks: list of (coord_indices, n_freqs) in row order, each laid out as
+    [x, sin f0 x, cos f0 x, sin f1 x, ...] per coordinate group (matching
+    ops.encoding.positional_encode). Returns (SEL, FREQ, IDENT, SIN, COS).
+    """
+    sel = np.zeros((n_coords, lanes), np.float32)
+    freq = np.ones((1, lanes), np.float32)
+    ident = np.zeros((1, lanes), np.float32)
+    sin_m = np.zeros((1, lanes), np.float32)
+    cos_m = np.zeros((1, lanes), np.float32)
+    l = 0
+    for coords, n_freqs in blocks:
+        for c in coords:
+            sel[c, l] = 1.0
+            ident[0, l] = 1.0
+            l += 1
+        for f in (2.0 ** np.arange(n_freqs)).astype(np.float32):
+            for c in coords:
+                sel[c, l] = 1.0
+                freq[0, l] = f
+                sin_m[0, l] = 1.0
+                l += 1
+            for c in coords:
+                sel[c, l] = 1.0
+                freq[0, l] = f
+                cos_m[0, l] = 1.0
+                l += 1
+    assert l <= lanes, l
+    return sel, freq, ident, sin_m, cos_m
+
+
+def _lane_encode(coords8, sel_ref, freq_ref, ident_ref, sin_ref, cos_ref):
+    """coords8: (T, 8) packed coordinates -> (T, 128) encoded row."""
+    arg = jnp.dot(coords8, sel_ref[:],
+                  preferred_element_type=jnp.float32) * freq_ref[:]
+    return (ident_ref[:] * arg + sin_ref[:] * jnp.sin(arg)
+            + cos_ref[:] * jnp.cos(arg))
+
+
 def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
                     interpret: bool = False):
     """Build fn(packed_oracle, packed_nerf, pose8, rot_pad, dirs_pad) ->
@@ -137,7 +186,16 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
 
     nerf_in_pad = LANE  # 63 + 27 <= 128
 
+    # lane-packed encoder tables (see lane_encode_tables): oracle row layout
+    # is [dir_enc | pos_enc] (features.py:866-871), shading row is
+    # [pos_enc | dir_enc]
+    o_tables = lane_encode_tables([([0, 1, 2], fd0), ([3, 4, 5], fp0)])
+    n_tables = lane_encode_tables([([0, 1, 2], fp1), ([3, 4, 5], fd1)])
+
     def kernel(dirs_ref, pose_ref, rot_ref, *wrefs):
+        ot = wrefs[0:5]
+        nt = wrefs[5:10]
+        wrefs = wrefs[10:]
         n_ow = len(_ORACLE_KEYS)
         ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
         nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-1])}
@@ -173,14 +231,12 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
         pry = oy + ndy * dist
         prz = oz + ndz * dist
 
-        # oracle input: [dir_enc(d), pos_enc(proj)] (features.py:866-871)
-        enc_d = _encode_interleaved([ndx, ndy, ndz], fd0)
-        enc_p = _encode_interleaved([prx, pry, prz], fp0)
-        ocols = enc_d + enc_p
-        o_in_w = len(ocols)
-        pad_w = LANE * math.ceil(o_in_w / LANE) - o_in_w
-        x0 = jnp.concatenate(
-            ocols + [jnp.zeros((T, pad_w), jnp.float32)], axis=1)
+        # oracle input: [dir_enc(d), pos_enc(proj)] (features.py:866-871),
+        # lane-packed: one matmul + one sin + one cos over (T, 128)
+        zero2 = jnp.zeros((T, 2), jnp.float32)
+        coords_o = jnp.concatenate([ndx, ndy, ndz, prx, pry, prz, zero2],
+                                   axis=1)
+        x0 = _lane_encode(coords_o, *ot)
         oracle_out = _oracle_mlp(ow, x0.astype(ow["w0"].dtype),
                                  oracle_def.depth)[:, :D]
 
@@ -240,12 +296,9 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
             qy = ly * inv
             qz = lz * inv
 
-            enc_pos = _encode_interleaved([qx, qy, qz], fp1)
-            enc_dir = _encode_interleaved([ndx, ndy, ndz], fd1)
-            cols = enc_pos + enc_dir
-            padw = nerf_in_pad - len(cols)
-            xs.append(jnp.concatenate(
-                cols + [jnp.zeros((T, padw), jnp.float32)], axis=1))
+            coords_n = jnp.concatenate([qx, qy, qz, ndx, ndy, ndz, zero2],
+                                       axis=1)
+            xs.append(_lane_encode(coords_n, *nt))
 
         x_all = jnp.concatenate(xs, axis=0)          # (S*T, 128)
         rgb_raw, alpha_raw = _nerf_mlp(nw, x_all.astype(nw["w0"].dtype),
@@ -292,6 +345,10 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
                         pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)]
             ws = []
+            for tbl in list(o_tables) + list(n_tables):
+                in_specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(jnp.asarray(tbl))
             for k in _ORACLE_KEYS:
                 w = packed_oracle[k]
                 in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
