@@ -85,6 +85,10 @@ class RealtimeRenderer:
         self.normalization = get_normalization(norm_name)
         self.accumulation_mult = config.accumulationMult or None
 
+        # packed shade-row width: [o(3)|d(3)|z(S)|probs(S)|...]; 128-lane
+        # aligned (S<=59 fits one lane group; dense S=128 uses 384)
+        self._pack_width = 128 * ((6 + 2 * self.max_samples + 127) // 128)
+
         # the fused Pallas MLP kernel wants capacities that are multiples of
         # its row tile; rounding buckets up costs a sliver of padded compute
         self._mlp_tile = 2048
@@ -150,7 +154,8 @@ class RealtimeRenderer:
         # narrow ones): [o(3) | d(3) | z(S) | z_probs(S) | 0...]
         packed = jnp.concatenate(
             [proj, nds, jnp.where(mask, z_world, 0.0), z_probs,
-             jnp.zeros((B, 128 - 6 - 2 * S), jnp.float32)], axis=-1)
+             jnp.zeros((B, self._pack_width - 6 - 2 * S), jnp.float32)],
+            axis=-1)
         return packed, mask, n_act
 
     # -- stage 3: compacted shading + composite ------------------------------

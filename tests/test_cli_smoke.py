@@ -66,3 +66,36 @@ def test_test_cli(scene, tmp_path):
         if root.endswith(os.path.join("test_images", "test")) and files:
             found = True
     assert found
+
+
+def test_export_and_viewer_cli(scene, tmp_path):
+    log = str(tmp_path / "logs")
+    # small full-width nets so the viewer's posEnc-derived reconstruction works
+    args = dense_config_args(scene, log, samples=32, epochs=3)
+    args = [a if a != "4-2" else "10-4" for a in args]
+    for i, a in enumerate(args):
+        if a in ("--layerWidth", "--multiDepthFeatures"):
+            args[i + 1] = {"--layerWidth": "256",
+                           "--multiDepthFeatures": "128"}[a]
+        if a == "--layers":
+            args[i + 1] = "8"
+        if a == "--numRaymarchSamples":
+            args[i + 1] = "128"  # dense mode: bins == raymarch samples
+        if a == "--rayMarchSamplingStep":
+            args[i + 1] = "0.0078125"
+    r = run_cli("train.py", args + ["--epochsCheckpoint", "2", "--nonVerbose",
+                                    "--epochsRender", "100",
+                                    "--epochsValidate", "100"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run_cli("export.py", args)
+    assert r.returncode == 0, r.stderr[-2000:]
+    export_dir = None
+    for root, dirs, files in os.walk(log):
+        if os.path.basename(root) == "exported_model":
+            export_dir = root
+    assert export_dir, "no exported_model dir"
+
+    r = run_cli("viewer.py", [export_dir, "-s", "24", "24", "-bs", "288",
+                              "-n", "3", "--logging_interval", "1"])
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    assert "FPS" in r.stdout
