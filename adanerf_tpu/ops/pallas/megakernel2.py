@@ -202,8 +202,8 @@ def make_ragged_pipeline(oracle_def, nerf_def, scene, config, tile: int = 256,
                 arrs.append(w)
             return specs, arrs
 
-        @jax.jit
-        def run(dirs_pad, pose8, rot_pad):
+        @functools.partial(jax.jit, static_argnames=("stop_after",))
+        def run(dirs_pad, pose8, rot_pad, stop_after=None):
             B = dirs_pad.shape[0]
             n_tiles = B // tile
 
@@ -225,8 +225,12 @@ def make_ragged_pipeline(oracle_def, nerf_def, scene, config, tile: int = 256,
             )(dirs_pad, pose8, rot_pad, *arrs1)
 
             counts = packed[:, COUNT_LANE].astype(jnp.int32)
+            if stop_after == "k1":  # profiling hook
+                return packed[:, :3], counts
             order = jnp.argsort(-counts)
             packed_sorted = packed[order]
+            if stop_after == "sort":  # profiling hook
+                return packed_sorted[:, :3], counts
             maxc = jnp.max(packed_sorted[:, COUNT_LANE]
                            .reshape(n_tiles, tile), axis=1).astype(jnp.int32)
 
