@@ -37,7 +37,9 @@ COUNT_LANE = 127
 
 
 def make_ragged_pipeline(oracle_def, nerf_def, scene, config, tile: int = 256,
-                         interpret: bool = False):
+                         shade_tile: int = 1024, interpret: bool = False):
+    # tile: k1 (oracle+select) ray tile; shade_tile: k2 ray tile — larger
+    # tiles give the per-slot MLP a fuller MXU batch
     """Build fn(dirs_pad, pose8, rot_pad) -> (rgb (B, 3), counts (B,))."""
     S = config.numRaymarchSamples[1]
     threshold = float(config.adaptiveSamplingThreshold)
@@ -135,7 +137,7 @@ def make_ragged_pipeline(oracle_def, nerf_def, scene, config, tile: int = 256,
         nw = {k: r for k, r in zip(nkeys, refs[5:5 + len(nkeys)])}
         out_ref = refs[-2]
         state = refs[-1]  # scratch (T, 128): [r, g, b, trans, 0...]
-        T = tile
+        T = shade_tile
         i = pl.program_id(0)
         maxc = maxc_ref[i]
 
@@ -231,21 +233,23 @@ def make_ragged_pipeline(oracle_def, nerf_def, scene, config, tile: int = 256,
             packed_sorted = packed[order]
             if stop_after == "sort":  # profiling hook
                 return packed_sorted[:, :3], counts
+            n_tiles2 = B // shade_tile
             maxc = jnp.max(packed_sorted[:, COUNT_LANE]
-                           .reshape(n_tiles, tile), axis=1).astype(jnp.int32)
+                           .reshape(n_tiles2, shade_tile),
+                           axis=1).astype(jnp.int32)
 
             specs2, arrs2 = full_specs(
                 n_tables,
                 [(k, packed_nerf[k]) for k in sorted_nerf_keys],
-                [pl.BlockSpec((tile, LANE), lambda i, *_: (i, 0),
+                [pl.BlockSpec((shade_tile, LANE), lambda i, *_: (i, 0),
                               memory_space=pltpu.VMEM)])
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
-                grid=(n_tiles,),
+                grid=(n_tiles2,),
                 in_specs=specs2,
-                out_specs=pl.BlockSpec((tile, LANE), lambda i, *_: (i, 0),
+                out_specs=pl.BlockSpec((shade_tile, LANE), lambda i, *_: (i, 0),
                                        memory_space=pltpu.VMEM),
-                scratch_shapes=[pltpu.VMEM((tile, LANE), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((shade_tile, LANE), jnp.float32)],
             )
             rgb_sorted = pl.pallas_call(
                 k2, grid_spec=grid_spec,

@@ -27,7 +27,7 @@ def test_ragged_pipeline_matches_xla(tmp_path):
     rt = RealtimeRenderer(ts.model_defs, ts.params, ts.scene, ts.config_file,
                           batch_size=128, dtype=None)
     build = make_ragged_pipeline(ts.model_defs[0], ts.model_defs[1], ts.scene,
-                                 ts.config_file, tile=64, interpret=True)
+                                 ts.config_file, tile=64, shade_tile=64, interpret=True)
     po = pack_oracle_weights(ts.model_defs[0], ts.params[0],
                              dtype=jnp.float32)
     pn = pack_nerf_weights(ts.model_defs[1], ts.params[1], dtype=jnp.float32)
