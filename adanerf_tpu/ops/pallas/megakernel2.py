@@ -37,9 +37,13 @@ COUNT_LANE = 127
 
 
 def make_ragged_pipeline(oracle_def, nerf_def, scene, config, tile: int = 256,
-                         shade_tile: int = 1024, interpret: bool = False):
-    # tile: k1 (oracle+select) ray tile; shade_tile: k2 ray tile — larger
-    # tiles give the per-slot MLP a fuller MXU batch
+                         shade_tile: int = 256, interpret: bool = False):
+    # tile: k1 (oracle+select) ray tile; shade_tile: k2 ray tile. Measured on
+    # v5e (800x800, avg 2.9 smp): 256 -> 78.5 ms, 512 -> 97.9, 1024 -> 99.5.
+    # Larger shade tiles lose more to coarser @pl.when slot-skip granularity
+    # (max count per tile grows with tile size) than the fuller per-slot MXU
+    # batch gains — keep shade_tile == tile unless that tradeoff changes.
+    # n_pix must be divisible by both tile sizes.
     """Build fn(dirs_pad, pose8, rot_pad) -> (rgb (B, 3), counts (B,))."""
     S = config.numRaymarchSamples[1]
     threshold = float(config.adaptiveSamplingThreshold)
@@ -207,6 +211,10 @@ def make_ragged_pipeline(oracle_def, nerf_def, scene, config, tile: int = 256,
         @functools.partial(jax.jit, static_argnames=("stop_after",))
         def run(dirs_pad, pose8, rot_pad, stop_after=None):
             B = dirs_pad.shape[0]
+            if B % tile or B % shade_tile:
+                raise ValueError(
+                    f"n_pix={B} must be divisible by tile={tile} and "
+                    f"shade_tile={shade_tile}")
             n_tiles = B // tile
 
             specs1, arrs1 = full_specs(
