@@ -37,7 +37,8 @@ COUNT_LANE = 127
 
 
 def make_ragged_pipeline(oracle_def, nerf_def, scene, config, tile: int = 256,
-                         shade_tile: int = 256, interpret: bool = False):
+                         shade_tile: int = 256, slot_group: int = 1,
+                         interpret: bool = False):
     # tile: k1 (oracle+select) ray tile; shade_tile: k2 ray tile. Measured on
     # v5e (800x800, avg 2.9 smp): 256 -> 78.5 ms, 512 -> 97.9, 1024 -> 99.5.
     # Larger shade tiles lose more to coarser @pl.when slot-skip granularity
@@ -157,31 +158,50 @@ def make_ragged_pipeline(oracle_def, nerf_def, scene, config, tile: int = 256,
         state[:, 3:4] = jnp.ones((T, 1), jnp.float32)
 
         zero2 = jnp.zeros((T, 2), jnp.float32)
-        for s in range(S):
-            @pl.when(s < maxc)
-            def _():
-                z = rows[:, 6 + s:7 + s]
-                zp = rows[:, 6 + S + s:7 + S + s]
-                live = (z > 0.0).astype(jnp.float32)
-                sx, sy, sz = ox + ndx * z, oy + ndy * z, oz + ndz * z
-                lx, ly, lz = sx - center[0], sy - center[1], sz - center[2]
-                norm = jnp.sqrt(jnp.sqrt(lx * lx + ly * ly + lz * lz))
-                inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
-                coords_n = jnp.concatenate(
-                    [lx * inv, ly * inv, lz * inv, ndx, ndy, ndz, zero2],
-                    axis=1)
-                x1 = _lane_encode(coords_n, *nt)
+        # slots are processed in groups of `slot_group`: the G slots' encoded
+        # inputs stack into ONE (G*T, 128) MLP batch (MXU utilization like
+        # the dense megakernel's slot batching), while the transmittance
+        # recurrence composites sequentially afterwards. A whole group is
+        # skipped when even its first slot index >= the tile's max count;
+        # within an executed group, rows lacking a slot have z == 0 and thus
+        # live == 0 (a numeric no-op).
+        for g0 in range(0, S, slot_group):
+            grp = list(range(g0, min(g0 + slot_group, S)))
+
+            @pl.when(g0 < maxc)
+            def _(grp=grp):
+                encs, lives, zps = [], [], []
+                for s in grp:
+                    z = rows[:, 6 + s:7 + s]
+                    zp = rows[:, 6 + S + s:7 + S + s]
+                    live = (z > 0.0).astype(jnp.float32)
+                    sx, sy, sz = ox + ndx * z, oy + ndy * z, oz + ndz * z
+                    lx = sx - center[0]
+                    ly = sy - center[1]
+                    lz = sz - center[2]
+                    norm = jnp.sqrt(jnp.sqrt(lx * lx + ly * ly + lz * lz))
+                    inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
+                    coords_n = jnp.concatenate(
+                        [lx * inv, ly * inv, lz * inv, ndx, ndy, ndz, zero2],
+                        axis=1)
+                    encs.append(_lane_encode(coords_n, *nt))
+                    lives.append(live)
+                    zps.append(zp)
+                x1 = jnp.concatenate(encs, axis=0) if len(grp) > 1 else encs[0]
                 rgb_raw, alpha_raw = _nerf_mlp(nw, x1.astype(nw["w0"].dtype),
                                                nerf_def)
-                sig_a = jax.nn.sigmoid(alpha_raw[:, 0:1]) * live
-                if acc_alpha:
-                    sig_a = sig_a * zp
-                trans = state[:, 3:4]
-                w_s = sig_a * trans
-                state[:, 0:1] += w_s * jax.nn.sigmoid(rgb_raw[:, 0:1])
-                state[:, 1:2] += w_s * jax.nn.sigmoid(rgb_raw[:, 1:2])
-                state[:, 2:3] += w_s * jax.nn.sigmoid(rgb_raw[:, 2:3])
-                state[:, 3:4] = trans * (1.0 - sig_a + 1e-10)
+                for j in range(len(grp)):
+                    a_j = alpha_raw[j * T:(j + 1) * T, 0:1]
+                    r_j = rgb_raw[j * T:(j + 1) * T]
+                    sig_a = jax.nn.sigmoid(a_j) * lives[j]
+                    if acc_alpha:
+                        sig_a = sig_a * zps[j]
+                    trans = state[:, 3:4]
+                    w_s = sig_a * trans
+                    state[:, 0:1] += w_s * jax.nn.sigmoid(r_j[:, 0:1])
+                    state[:, 1:2] += w_s * jax.nn.sigmoid(r_j[:, 1:2])
+                    state[:, 2:3] += w_s * jax.nn.sigmoid(r_j[:, 2:3])
+                    state[:, 3:4] = trans * (1.0 - sig_a + 1e-10)
 
         out = jnp.concatenate(
             [state[:, 0:3], jnp.zeros((T, LANE - 3), jnp.float32)], axis=1)

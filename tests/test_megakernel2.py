@@ -49,3 +49,14 @@ def test_ragged_pipeline_matches_xla(tmp_path):
     np.testing.assert_array_equal(np.asarray(counts)[:128],
                                   np.asarray(mask).sum(axis=1))
     np.testing.assert_allclose(rgb, rgb_ref, atol=2e-4)
+
+    # slot-grouped shading (batched MLP, group-granular skipping) is exact
+    for g in (2, 8):
+        build_g = make_ragged_pipeline(
+            ts.model_defs[0], ts.model_defs[1], ts.scene, ts.config_file,
+            tile=64, shade_tile=64, slot_group=g, interpret=True)
+        rgb_g, counts_g = build_g(po, pn)(*prep_inputs(
+            jnp.asarray(dirs), jnp.asarray(pose), jnp.asarray(rot)))
+        np.testing.assert_array_equal(np.asarray(counts_g),
+                                      np.asarray(counts))
+        np.testing.assert_allclose(np.asarray(rgb_g), rgb, atol=1e-5)
