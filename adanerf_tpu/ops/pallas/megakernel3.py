@@ -1,0 +1,288 @@
+"""Compacted megakernel (v5): in-tile sample compaction — shade exactly
+ceil(sum(count)/chunk) dense chunks per ray tile instead of all S slots.
+
+The round-1 kernels established (BENCH.md):
+  * dense v3 (all S slots shaded) runs the shading MLP at ~44% of bf16 peak
+    but does S/avg_count (~2.8x) wasted work;
+  * ragged v4's per-slot ``@pl.when`` skip drops to ~23% of peak — the
+    per-slot scratch recurrence and count-sort glue eat the savings.
+
+v5 keeps v3's fused front half (ray setup -> oracle MLP -> sort-free
+adaptive select, all in one VMEM-resident kernel) and replaces the dense
+slot shading with TRUE compaction, entirely in-tile, built only from
+MXU-friendly primitives (no gathers, no sorts, no host trips):
+
+  1. per-ray live counts c and exclusive prefix offsets (a strict
+     lower-triangular constant matmul — Pallas TPU has no cumsum);
+  2. the tile's live samples form rows [0, L) of a virtual compact batch;
+     chunk k (static unroll, ``@pl.when(k*chunk < L)``) builds its
+     ray-assignment one-hot ``onehotT[r, j] = cum_excl[r] <= j < cum_incl[r]``
+     by comparing the offset columns against a lane iota — a pure VPU op;
+  3. sample geometry is gathered with ONE one-hot matmul (exact in fp32 at
+     HIGHEST precision: one-hot rows sum a single f32 value), encoded with
+     the lane-packed tables, and shaded by the NeRF MLP as a dense
+     (chunk, 128) batch;
+  4. raw rgba is scattered back to slot-major (T, 4*S) via the transposed
+     one-hot matmul, and the per-ray front-to-back composite runs the SAME
+     S-step recurrence as v3 (bitwise-identical composite given identical
+     raw values).
+
+Dead trailing rows of the last live chunk have all-zero one-hot columns, so
+they contribute nothing; no masking needed beyond the chunk gate.
+
+This is the TPU counterpart of the CUDA viewer's warp-level sample
+compaction (adanerf_real_time_viewer/src/adaptive_cuda_kernels.cu:301-450)
++ ragged TensorRT binding (imagegenerator.cpp:336-344), realized as one-hot
+matmuls because the MXU — not shared-memory shuffles — is the TPU's fast
+path for data movement.
+
+Semantics match megakernel.py (v3) and the XLA realtime pipeline exactly;
+see tests/test_megakernel3.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .megakernel import (_lane_encode, _nerf_mlp, _oracle_mlp,
+                         lane_encode_tables, pack_oracle_weights, prep_inputs)
+from .select_kernel import _lane_cumsum
+
+LANE = 128
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def make_megakernel_compact(oracle_def, nerf_def, scene, config,
+                            tile: int = 256, chunk: int = 256,
+                            interpret: bool = False):
+    """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
+    -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
+    megakernel.make_megakernel."""
+    S = config.numRaymarchSamples[1]
+    threshold = float(config.adaptiveSamplingThreshold)
+    D = oracle_def.n_out
+    cell = 1.0 / D
+    fp0, fd0 = [int(x) for x in config.posEncArgs[0].split('-')]
+    fp1, fd1 = [int(x) for x in config.posEncArgs[1].split('-')]
+    center = np.asarray(scene.view_cell_center, np.float32)
+    radius = float(scene.view_cell_radius)
+    sqrt_max_depth = math.sqrt(float(scene.depth_max))
+    dr = scene.depth_range_warped
+    transform = scene.depth_transform
+    acc_alpha = (config.accumulationMult == "alpha")
+    assert (S * tile) % chunk == 0, (S, tile, chunk)
+    n_chunks = (S * tile) // chunk
+    assert 4 * S <= LANE and 6 + S + 1 <= 32
+
+    o_tables = lane_encode_tables([([0, 1, 2], fd0), ([3, 4, 5], fp0)])
+    n_tables = lane_encode_tables([([0, 1, 2], fp1), ([3, 4, 5], fd1)])
+    # strict lower-triangular ones: exclusive prefix sum as a matmul
+    tril = np.tril(np.ones((tile, tile), np.float32), k=-1)
+
+    def kernel(dirs_ref, pose_ref, rot_ref, tril_ref, *wrefs):
+        ot = wrefs[0:5]
+        nt = wrefs[5:10]
+        wrefs = wrefs[10:]
+        n_ow = len(_ORACLE_KEYS)
+        ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
+        nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-2])}
+        out_ref = wrefs[-2]
+        acc_ref = wrefs[-1]  # (tile, 128) f32 scratch: [:, :4*S] slot rgba
+
+        T = tile
+        dirs_pad = dirs_ref[:]
+        pose = pose_ref[:]
+
+        # ---- front half: identical to megakernel.py v3 ----
+        nds_pad = jnp.dot(dirs_pad, rot_ref[:],
+                          preferred_element_type=jnp.float32)
+        ndx, ndy, ndz = nds_pad[:, 0:1], nds_pad[:, 1:2], nds_pad[:, 2:3]
+        ox = jnp.broadcast_to(pose[:, 0:1], (T, 1))
+        oy = jnp.broadcast_to(pose[:, 1:2], (T, 1))
+        oz = jnp.broadcast_to(pose[:, 2:3], (T, 1))
+        omcx, omcy, omcz = ox - center[0], oy - center[1], oz - center[2]
+        u_dot = ndx * omcx + ndy * omcy + ndz * omcz
+        delta = u_dot * u_dot - (omcx ** 2 + omcy ** 2 + omcz ** 2
+                                 - radius * radius)
+        dist = -u_dot + jnp.sqrt(jnp.maximum(delta, 0.0))
+        prx, pry, prz = ox + ndx * dist, oy + ndy * dist, oz + ndz * dist
+
+        zero2 = jnp.zeros((T, 2), jnp.float32)
+        coords_o = jnp.concatenate([ndx, ndy, ndz, prx, pry, prz, zero2],
+                                   axis=1)
+        x0 = _lane_encode(coords_o, *ot)
+        d = _oracle_mlp(ow, x0.astype(ow["w0"].dtype), oracle_def.depth)[:, :D]
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
+        work = d
+        v_k = None
+        for _ in range(S):
+            v_k = jnp.max(work, axis=1, keepdims=True)
+            first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
+                            keepdims=True)
+            work = jnp.where(iota == first, jnp.float32(-jnp.inf), work)
+        above = d > v_k
+        n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
+        ties = d == v_k
+        tie_rank = _lane_cumsum(ties.astype(jnp.float32)).astype(jnp.int32)
+        keep = above | (ties & (tie_rank <= (S - n_above)))
+        if threshold > 0.0:
+            keep = keep & (d >= threshold)
+        any_keep = jnp.any(keep, axis=1, keepdims=True)
+        dmax = jnp.max(d, axis=1, keepdims=True)
+        am = jnp.min(jnp.where(d == dmax, iota, D), axis=1, keepdims=True)
+        keep = keep | (jnp.logical_not(any_keep) & (iota == am))
+        rowcum = _lane_cumsum(keep.astype(jnp.float32)).astype(jnp.int32)
+        n_per = jnp.sum(keep.astype(jnp.int32), axis=1)
+
+        keep_f = keep.astype(jnp.float32)
+        iota_f = iota.astype(jnp.float32)
+        z_cols, p_cols = [], []
+        for s in range(S):
+            sel = keep_f * (rowcum == (s + 1)).astype(jnp.float32)
+            bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
+            live = (jnp.sum(sel, axis=1, keepdims=True) > 0) \
+                .astype(jnp.float32)
+            z_cols.append(transform.to_world((bin_s + 0.5) * cell, dr) * live)
+            p_cols.append(jnp.sum(d * sel, axis=1, keepdims=True) * live)
+
+        # ---- compaction ----
+        c = n_per.astype(jnp.float32)[:, None]                   # (T, 1)
+        cum_excl = jnp.dot(tril_ref[:], c,
+                           preferred_element_type=jnp.float32,
+                           precision=HIGHEST)                    # (T, 1)
+        cum_incl = cum_excl + c
+        total = jnp.sum(c)                                        # scalar
+
+        # packed per-ray values the compact rows gather from: 32 lanes
+        # [o(3) | d(3) | z(S) | cum_excl(1) | pad]
+        npad = 32 - (6 + S + 1)
+        vals = jnp.concatenate(
+            [prx, pry, prz, ndx, ndy, ndz] + z_cols
+            + [cum_excl, jnp.zeros((T, npad), jnp.float32)], axis=1)
+
+        acc_ref[:, :] = jnp.zeros((T, LANE), jnp.float32)
+
+        for k in range(n_chunks):
+            @pl.when(jnp.float32(k * chunk) < total)
+            def _(k=k):
+                # ray-assignment one-hot for this chunk's rows
+                jrow = jax.lax.broadcasted_iota(
+                    jnp.int32, (T, chunk), 1).astype(jnp.float32) \
+                    + jnp.float32(k * chunk)
+                onehotT = ((jrow >= cum_excl) & (jrow < cum_incl)) \
+                    .astype(jnp.float32)                         # (T, chunk)
+                cvals = jax.lax.dot_general(
+                    onehotT, vals, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=HIGHEST)                           # (chunk, 32)
+                cox, coy, coz = cvals[:, 0:1], cvals[:, 1:2], cvals[:, 2:3]
+                cdx, cdy, cdz = cvals[:, 3:4], cvals[:, 4:5], cvals[:, 5:6]
+                ccum = cvals[:, 6 + S:7 + S]
+                jcol = jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, 1), 0).astype(jnp.float32) \
+                    + jnp.float32(k * chunk)
+                s_j = jcol - ccum                                # (chunk, 1)
+                z_sel = jnp.zeros((chunk, 1), jnp.float32)
+                for s in range(S):
+                    z_sel = z_sel + cvals[:, 6 + s:7 + s] * \
+                        (s_j == jnp.float32(s)).astype(jnp.float32)
+
+                sx, sy, sz = cox + cdx * z_sel, coy + cdy * z_sel, \
+                    coz + cdz * z_sel
+                lx, ly, lz = sx - center[0], sy - center[1], sz - center[2]
+                norm = jnp.sqrt(jnp.sqrt(lx * lx + ly * ly + lz * lz))
+                inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
+                zero2c = jnp.zeros((chunk, 2), jnp.float32)
+                coords_n = jnp.concatenate(
+                    [lx * inv, ly * inv, lz * inv, cdx, cdy, cdz, zero2c],
+                    axis=1)
+                x1 = _lane_encode(coords_n, *nt)
+                rgb_raw, alpha_raw = _nerf_mlp(nw, x1.astype(nw["w0"].dtype),
+                                               nerf_def)
+                rgba = jnp.concatenate([rgb_raw[:, 0:3], alpha_raw[:, 0:1]],
+                                       axis=1)                   # (chunk, 4)
+                payload = jnp.concatenate(
+                    [rgba * (s_j == jnp.float32(s)).astype(jnp.float32)
+                     for s in range(S)], axis=1)                 # (chunk, 4S)
+                acc_ref[:, :4 * S] += jnp.dot(
+                    onehotT, payload, preferred_element_type=jnp.float32,
+                    precision=HIGHEST)                           # (T, 4S)
+
+        # ---- composite: v3's exact S-step recurrence ----
+        trans = jnp.ones((T, 1), jnp.float32)
+        acc_r = jnp.zeros((T, 1), jnp.float32)
+        acc_g = jnp.zeros((T, 1), jnp.float32)
+        acc_b = jnp.zeros((T, 1), jnp.float32)
+        for s in range(S):
+            live = (c > jnp.float32(s)).astype(jnp.float32)
+            r_s = acc_ref[:, 4 * s + 0:4 * s + 1]
+            g_s = acc_ref[:, 4 * s + 1:4 * s + 2]
+            b_s = acc_ref[:, 4 * s + 2:4 * s + 3]
+            a_s = acc_ref[:, 4 * s + 3:4 * s + 4]
+            sig_a = jax.nn.sigmoid(a_s) * live
+            if acc_alpha:
+                sig_a = sig_a * p_cols[s]
+            w_s = sig_a * trans
+            trans = trans * (1.0 - sig_a + 1e-10)
+            acc_r = acc_r + w_s * jax.nn.sigmoid(r_s)
+            acc_g = acc_g + w_s * jax.nn.sigmoid(g_s)
+            acc_b = acc_b + w_s * jax.nn.sigmoid(b_s)
+
+        pad = jnp.zeros((T, LANE - 4), jnp.float32)
+        out_ref[:] = jnp.concatenate([acc_r, acc_g, acc_b, c, pad], axis=1)
+
+    _ORACLE_KEYS = None
+    _NERF_KEYS = None
+
+    def build(packed_oracle, packed_nerf):
+        nonlocal _ORACLE_KEYS, _NERF_KEYS
+        _ORACLE_KEYS = sorted(packed_oracle.keys())
+        _NERF_KEYS = sorted(packed_nerf.keys())
+
+        @jax.jit
+        def run(dirs_pad, pose8, rot_pad):
+            B = dirs_pad.shape[0]
+            in_specs = [pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, LANE), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((tile, tile), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)]
+            ws = []
+            for tbl in list(o_tables) + list(n_tables):
+                in_specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(jnp.asarray(tbl))
+            for k in _ORACLE_KEYS:
+                w = packed_oracle[k]
+                in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(w)
+            for k in _NERF_KEYS:
+                w = packed_nerf[k]
+                in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(w)
+            return pl.pallas_call(
+                kernel,
+                grid=(B // tile,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((tile, LANE), jnp.float32)],
+                interpret=interpret,
+            )(jnp.asarray(dirs_pad), pose8, rot_pad, jnp.asarray(tril), *ws)
+
+        return run
+
+    return build

@@ -1,0 +1,102 @@
+"""Compacted megakernel (v5) vs the XLA realtime pipeline and the dense v3
+megakernel (interpret mode, fp32). The compaction is a data-movement
+reshuffle, not an approximation — counts must match exactly and rgb must
+match the XLA pipeline to the same tolerance v3 does."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adanerf_tpu.config import Config
+from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
+                                               pack_oracle_weights,
+                                               prep_inputs)
+from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
+from adanerf_tpu.ops.pallas.mlp_kernels import pack_nerf_weights
+from adanerf_tpu.realtime import RealtimeRenderer
+from adanerf_tpu.train_state import TrainState
+
+from scene_utils import dense_config_args, make_scene
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    scene = make_scene(str(tmp_path_factory.mktemp("scene_mk3")))
+    log = str(tmp_path_factory.mktemp("logs_mk3"))
+    config = Config.init(argv=dense_config_args(scene, log, threshold=0.2))
+    ts = TrainState()
+    ts.initialize(config)
+    return ts
+
+
+def _run(ts, dirs, pose, rot, **kw):
+    build = make_megakernel_compact(ts.model_defs[0], ts.model_defs[1],
+                                    ts.scene, ts.config_file, interpret=True,
+                                    **kw)
+    po = pack_oracle_weights(ts.model_defs[0], ts.params[0],
+                             dtype=jnp.float32)
+    pn = pack_nerf_weights(ts.model_defs[1], ts.params[1], dtype=jnp.float32)
+    out = np.asarray(build(po, pn)(*prep_inputs(
+        jnp.asarray(dirs), jnp.asarray(pose), jnp.asarray(rot))))
+    return out[:, :3], out[:, 3].astype(int)
+
+
+def test_compact_matches_pipeline(setup):
+    ts = setup
+    rt = RealtimeRenderer(ts.model_defs, ts.params, ts.scene, ts.config_file,
+                          batch_size=128, dtype=None)
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:128]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_mk, counts_mk = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+
+    rgb_ref = rt.render_frame(pose, rot, dirs)
+    packed, mask, n_act = rt._oracle_fn(rt.params[0], jnp.asarray(pose),
+                                        jnp.asarray(rot), jnp.asarray(dirs))
+    counts_ref = np.asarray(mask).sum(axis=1)
+
+    np.testing.assert_array_equal(counts_mk, counts_ref)
+    np.testing.assert_allclose(rgb_mk, rgb_ref, atol=2e-4)
+
+
+def test_compact_matches_dense_v3_exactly(setup):
+    """v5 must reproduce v3 (same kernel numerics, compacted data movement)
+    bit-for-bit in fp32 interpret mode."""
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:192]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    po = pack_oracle_weights(ts.model_defs[0], ts.params[0],
+                             dtype=jnp.float32)
+    pn = pack_nerf_weights(ts.model_defs[1], ts.params[1], dtype=jnp.float32)
+    v3 = make_megakernel(ts.model_defs[0], ts.model_defs[1], ts.scene,
+                         ts.config_file, tile=64, interpret=True)(po, pn)
+    out3 = np.asarray(v3(*prep_inputs(jnp.asarray(dirs), jnp.asarray(pose),
+                                      jnp.asarray(rot))))
+
+    rgb5, counts5 = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+    np.testing.assert_array_equal(counts5, out3[:, 3].astype(int))
+    np.testing.assert_allclose(rgb5, out3[:, :3], atol=0, rtol=0)
+
+
+@pytest.mark.parametrize("chunk", [32, 128])
+def test_compact_chunk_sizes(setup, chunk):
+    """Chunk granularity is a pure tiling knob: results identical."""
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:64]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+    rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=chunk)
+    np.testing.assert_array_equal(counts_a, counts_b)
+    # different MLP batch shapes change the CPU dot's blocking -> 1-ulp
+    # reduction-order differences; anything beyond that is a real bug
+    np.testing.assert_allclose(rgb_a, rgb_b, atol=2e-7, rtol=0)
