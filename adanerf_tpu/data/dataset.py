@@ -202,6 +202,27 @@ class ViewCellDataset:
             self.w, self.h, dataset_info.view.fov,
             dataset_info.view.focal).reshape(-1, 3).astype(np.float32)
 
+        # iterative sample-placement tracker (datasets.py:552-559; note the
+        # shipped reference comments out the tracker's construction at :552,
+        # leaving --samplePlacementDir dormant — here it is live whenever
+        # the flag is set)
+        self.sample_placement_tracker = None
+        sp_dir = getattr(config, "samplePlacementDir", None)
+        if sp_dir and set_name not in ("vid",):
+            if not all(x == config.multiDepthFeatures[0]
+                       for x in config.multiDepthFeatures):
+                raise ValueError(
+                    "multiDepthFeatures have to be identical for sample "
+                    "placement to work (datasets.py:554-555)")
+            from ..utils.sample_placement_tracker import SamplePlacementTracker
+            self.sample_placement_tracker = SamplePlacementTracker(
+                self.num_items, self.w, self.h,
+                max_sample_count=config.multiDepthFeatures[0])
+            ckpt = os.path.join(sp_dir, set_name,
+                                f"{config.numRaymarchSamples[-1]}.ckpt.npy")
+            if os.path.exists(ckpt):
+                self.sample_placement_tracker.load(ckpt)
+
     def __len__(self):
         return self.num_items
 

@@ -55,12 +55,19 @@ from .megakernel import (_lane_encode, _nerf_mlp, _oracle_mlp,
 from .select_kernel import _lane_cumsum
 
 LANE = 128
-HIGHEST = jax.lax.Precision.HIGHEST
+# One-hot gather/scatter matmul precision. "default" (single-pass bf16,
+# f32 accumulate) is the production mode: precision-critical operands ride
+# hi/lo split lanes (see the kernel body) so nothing meaningful is lost.
+# "highest" (6-pass) reconstructs full f32 without splits — ~30 ms/frame
+# slower at the bench workload, kept for A/B checks. Mosaic rejects HIGH.
+_PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
+               "highest": jax.lax.Precision.HIGHEST}
 
 
 def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             tile: int = 256, chunk: int = 256,
-                            interpret: bool = False):
+                            interpret: bool = False, precision: str = "default",
+                            no_shade: bool = False, no_encode: bool = False):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
     megakernel.make_megakernel."""
@@ -78,14 +85,17 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
     acc_alpha = (config.accumulationMult == "alpha")
     assert (S * tile) % chunk == 0, (S, tile, chunk)
     n_chunks = (S * tile) // chunk
-    assert 4 * S <= LANE and 6 + S + 1 <= 32
+    assert 8 * S <= LANE, "hi/lo split payload must fit one lane tile"
 
+    prec = _PRECISIONS[precision]
     o_tables = lane_encode_tables([([0, 1, 2], fd0), ([3, 4, 5], fp0)])
     n_tables = lane_encode_tables([([0, 1, 2], fp1), ([3, 4, 5], fd1)])
-    # strict lower-triangular ones: exclusive prefix sum as a matmul
+    # strict lower-triangular ones: exclusive prefix sum as a matmul;
+    # identity: column->row reorientation as a matmul (no transposes)
     tril = np.tril(np.ones((tile, tile), np.float32), k=-1)
+    eye = np.eye(tile, dtype=np.float32)
 
-    def kernel(dirs_ref, pose_ref, rot_ref, tril_ref, *wrefs):
+    def kernel(dirs_ref, pose_ref, rot_ref, tril_ref, eye_ref, *wrefs):
         ot = wrefs[0:5]
         nt = wrefs[5:10]
         wrefs = wrefs[10:]
@@ -154,66 +164,123 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
         # ---- compaction ----
         c = n_per.astype(jnp.float32)[:, None]                   # (T, 1)
+        # tril entries (0/1) and counts (<= S <= 8) are bf16-exact, and the
+        # MXU accumulates in f32, so this prefix sum is EXACT even at
+        # default (single-pass bf16) matmul precision
         cum_excl = jnp.dot(tril_ref[:], c,
-                           preferred_element_type=jnp.float32,
-                           precision=HIGHEST)                    # (T, 1)
+                           preferred_element_type=jnp.float32)   # (T, 1)
         cum_incl = cum_excl + c
         total = jnp.sum(c)                                        # scalar
 
-        # packed per-ray values the compact rows gather from: 32 lanes
-        # [o(3) | d(3) | z(S) | cum_excl(1) | pad]
-        npad = 32 - (6 + S + 1)
+        # Packed per-ray values the compact rows gather from. A default-
+        # precision MXU matmul rounds each INPUT to bf16 (8 mantissa bits) —
+        # fatal for the cum offsets (ints > 256 round, corrupting the
+        # compaction) and for sample geometry (the top positional-encode
+        # band 2^(fp-1) turns an 2^-9 relative position error into ~radian
+        # phase error). So every precision-critical value is stored as a
+        # bf16-exact hi piece plus a residual lo lane: gathering both through
+        # the one-hot matmul and re-adding reconstructs ~17 mantissa bits at
+        # single-pass cost. cum splits as hi*128 + lo with both pieces < 128
+        # (exact). Directions are unit vectors feeding the low-frequency dir
+        # encode (<= 2^(fd-1) ~ 8): a 2^-9 rounding is phase-negligible, so
+        # they stay single-lane.
+        def split_hi_lo(v):
+            hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+            return hi, v - hi
+
+        o_his, o_los = zip(*[split_hi_lo(v) for v in (prx, pry, prz)])
+        z_his, z_los = zip(*[split_hi_lo(z) for z in z_cols])
+        cum_hi = jnp.floor(cum_excl * (1.0 / 128.0))
+        cum_lo = cum_excl - cum_hi * 128.0
+        n_lanes = 3 + 3 + 3 + 2 * S + 2
+        V = 32 if n_lanes <= 32 else 64
         vals = jnp.concatenate(
-            [prx, pry, prz, ndx, ndy, ndz] + z_cols
-            + [cum_excl, jnp.zeros((T, npad), jnp.float32)], axis=1)
+            list(o_his) + list(o_los) + [ndx, ndy, ndz]
+            + list(z_his) + list(z_los)
+            + [cum_hi, cum_lo, jnp.zeros((T, V - n_lanes), jnp.float32)],
+            axis=1)
 
         acc_ref[:, :] = jnp.zeros((T, LANE), jnp.float32)
 
+        # row-oriented copies of the offsets so BOTH one-hot masks build as
+        # plain broadcast compares and BOTH matmuls run in standard (non-
+        # transposed) orientation: (1, T) = dot_general(col, EYE, contract 0)
+        def rowize(col):
+            return jax.lax.dot_general(col, eye_ref[:],
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        cum_excl_row = rowize(cum_excl)                          # (1, T)
+        cum_incl_row = rowize(cum_incl)
+        slot_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, S), 1).astype(jnp.float32)            # (1, S)
+
+        use_split = precision == "default"
+        pw = 8 if use_split else 4
         for k in range(n_chunks):
             @pl.when(jnp.float32(k * chunk) < total)
             def _(k=k):
-                # ray-assignment one-hot for this chunk's rows
+                # ray-assignment one-hots for this chunk's rows; lane-packed
+                # compares only — no transposes
                 jrow = jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, T), 0).astype(jnp.float32) \
+                    + jnp.float32(k * chunk)
+                onehot = ((jrow >= cum_excl_row)
+                          & (jrow < cum_incl_row)).astype(jnp.float32)
+                jcolT = jax.lax.broadcasted_iota(
                     jnp.int32, (T, chunk), 1).astype(jnp.float32) \
                     + jnp.float32(k * chunk)
-                onehotT = ((jrow >= cum_excl) & (jrow < cum_incl)) \
-                    .astype(jnp.float32)                         # (T, chunk)
-                cvals = jax.lax.dot_general(
-                    onehotT, vals, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=HIGHEST)                           # (chunk, 32)
-                cox, coy, coz = cvals[:, 0:1], cvals[:, 1:2], cvals[:, 2:3]
-                cdx, cdy, cdz = cvals[:, 3:4], cvals[:, 4:5], cvals[:, 5:6]
-                ccum = cvals[:, 6 + S:7 + S]
+                onehotT = ((jcolT >= cum_excl)
+                           & (jcolT < cum_incl)).astype(jnp.float32)
+                cvals = jnp.dot(onehot, vals,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)                  # (chunk, V)
+                co = cvals[:, 0:3] + cvals[:, 3:6]               # (chunk, 3)
+                cd = cvals[:, 6:9]
+                ccum = cvals[:, 9 + 2 * S:10 + 2 * S] * 128.0 \
+                    + cvals[:, 10 + 2 * S:11 + 2 * S]
                 jcol = jax.lax.broadcasted_iota(
                     jnp.int32, (chunk, 1), 0).astype(jnp.float32) \
                     + jnp.float32(k * chunk)
                 s_j = jcol - ccum                                # (chunk, 1)
-                z_sel = jnp.zeros((chunk, 1), jnp.float32)
-                for s in range(S):
-                    z_sel = z_sel + cvals[:, 6 + s:7 + s] * \
-                        (s_j == jnp.float32(s)).astype(jnp.float32)
+                smask = (s_j == slot_iota).astype(jnp.float32)   # (chunk, S)
+                zpieces = cvals[:, 9:9 + S] + cvals[:, 9 + S:9 + 2 * S]
+                z_sel = jnp.sum(zpieces * smask, axis=1, keepdims=True)
 
-                sx, sy, sz = cox + cdx * z_sel, coy + cdy * z_sel, \
-                    coz + cdz * z_sel
-                lx, ly, lz = sx - center[0], sy - center[1], sz - center[2]
-                norm = jnp.sqrt(jnp.sqrt(lx * lx + ly * ly + lz * lz))
+                spos = co + cd * z_sel                           # (chunk, 3)
+                lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+                center_row = jnp.where(
+                    lane3 == 0, jnp.float32(center[0]),
+                    jnp.where(lane3 == 1, jnp.float32(center[1]),
+                              jnp.float32(center[2])))
+                l = spos - center_row
+                norm = jnp.sqrt(jnp.sqrt(
+                    jnp.sum(l * l, axis=1, keepdims=True)))
                 inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
                 zero2c = jnp.zeros((chunk, 2), jnp.float32)
-                coords_n = jnp.concatenate(
-                    [lx * inv, ly * inv, lz * inv, cdx, cdy, cdz, zero2c],
-                    axis=1)
-                x1 = _lane_encode(coords_n, *nt)
-                rgb_raw, alpha_raw = _nerf_mlp(nw, x1.astype(nw["w0"].dtype),
-                                               nerf_def)
-                rgba = jnp.concatenate([rgb_raw[:, 0:3], alpha_raw[:, 0:1]],
-                                       axis=1)                   # (chunk, 4)
+                coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
+                if no_encode:  # profiling hook: gather/scatter cost only
+                    rgba = coords_n[:, 0:4]
+                elif no_shade:  # profiling hook: machinery w/o the MLP
+                    rgba = _lane_encode(coords_n, *nt)[:, 0:4]
+                else:
+                    x1 = _lane_encode(coords_n, *nt)
+                    rgb_raw, alpha_raw = _nerf_mlp(
+                        nw, x1.astype(nw["w0"].dtype), nerf_def)
+                    rgba = jnp.concatenate(
+                        [rgb_raw[:, 0:3], alpha_raw[:, 0:1]],
+                        axis=1)                                  # (chunk, 4)
+                # raw rgba scatters back with the same hi/lo split (the
+                # residual rides 4 extra lanes; recombined in the composite)
+                if use_split:
+                    rg_hi, rg_lo = split_hi_lo(rgba)
+                    rgba = jnp.concatenate([rg_hi, rg_lo], axis=1)
                 payload = jnp.concatenate(
-                    [rgba * (s_j == jnp.float32(s)).astype(jnp.float32)
-                     for s in range(S)], axis=1)                 # (chunk, 4S)
-                acc_ref[:, :4 * S] += jnp.dot(
+                    [rgba * smask[:, s:s + 1] for s in range(S)],
+                    axis=1)                                      # (chunk, pw*S)
+                acc_ref[:, :pw * S] += jnp.dot(
                     onehotT, payload, preferred_element_type=jnp.float32,
-                    precision=HIGHEST)                           # (T, 4S)
+                    precision=prec)                              # (T, pw*S)
 
         # ---- composite: v3's exact S-step recurrence ----
         trans = jnp.ones((T, 1), jnp.float32)
@@ -222,10 +289,15 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         acc_b = jnp.zeros((T, 1), jnp.float32)
         for s in range(S):
             live = (c > jnp.float32(s)).astype(jnp.float32)
-            r_s = acc_ref[:, 4 * s + 0:4 * s + 1]
-            g_s = acc_ref[:, 4 * s + 1:4 * s + 2]
-            b_s = acc_ref[:, 4 * s + 2:4 * s + 3]
-            a_s = acc_ref[:, 4 * s + 3:4 * s + 4]
+            r_s = acc_ref[:, pw * s + 0:pw * s + 1]
+            g_s = acc_ref[:, pw * s + 1:pw * s + 2]
+            b_s = acc_ref[:, pw * s + 2:pw * s + 3]
+            a_s = acc_ref[:, pw * s + 3:pw * s + 4]
+            if use_split:
+                r_s = r_s + acc_ref[:, pw * s + 4:pw * s + 5]
+                g_s = g_s + acc_ref[:, pw * s + 5:pw * s + 6]
+                b_s = b_s + acc_ref[:, pw * s + 6:pw * s + 7]
+                a_s = a_s + acc_ref[:, pw * s + 7:pw * s + 8]
             sig_a = jax.nn.sigmoid(a_s) * live
             if acc_alpha:
                 sig_a = sig_a * p_cols[s]
@@ -256,6 +328,8 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                         pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((tile, tile), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((tile, tile), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)]
             ws = []
             for tbl in list(o_tables) + list(n_tables):
@@ -281,7 +355,8 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
                 scratch_shapes=[pltpu.VMEM((tile, LANE), jnp.float32)],
                 interpret=interpret,
-            )(jnp.asarray(dirs_pad), pose8, rot_pad, jnp.asarray(tril), *ws)
+            )(jnp.asarray(dirs_pad), pose8, rot_pad, jnp.asarray(tril),
+              jnp.asarray(eye), *ws)
 
         return run
 

@@ -24,12 +24,82 @@ from ..pipeline.keys import DatasetKeys
 
 AXIS = "rays"
 
+_distributed_initialized = False
 
-def make_mesh(n_devices: int = -1) -> Mesh:
+
+def init_multi_host(coordinator_address: str = None, num_processes: int = None,
+                    process_id: int = None) -> int:
+    """Join (or stand up) a multi-host JAX cluster before any backend use.
+
+    On a TPU pod slice launched through the usual orchestrators (GKE, QR,
+    gcloud --worker=all) jax.distributed.initialize() discovers everything
+    from the environment, so all three arguments stay None; for manual
+    launches pass them explicitly (same contract as jax.distributed).
+    Single-process runs (no coordinator, one process) skip initialization
+    entirely and fall through to the local-device mesh — this keeps every
+    code path CPU-testable.
+
+    Returns the process index (0 on single-process).
+
+    Launch recipe (one line per host):
+      ADANERF_COORD=<host0>:8476 ADANERF_NPROC=<N> ADANERF_PROC_ID=<i> \
+          python train.py ... --meshDevices -1
+    or rely on TPU-pod auto-detection and just run the same command on every
+    worker. DCN is only involved in init/checkpoint; the gradient psums ride
+    ICI within the global-view jit.
+    """
+    global _distributed_initialized
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("ADANERF_COORD")
+    if num_processes is None and os.environ.get("ADANERF_NPROC"):
+        num_processes = int(os.environ["ADANERF_NPROC"])
+    if process_id is None and os.environ.get("ADANERF_PROC_ID"):
+        process_id = int(os.environ["ADANERF_PROC_ID"])
+
+    explicit = coordinator_address is not None
+    in_tpu_pod = bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+                      or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if not _distributed_initialized and (explicit or in_tpu_pod):
+        try:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+            _distributed_initialized = True
+        except (ValueError, RuntimeError) as e:
+            if explicit:
+                raise
+            # pod-looking env without a resolvable coordinator (e.g. the
+            # single-chip tunnel sets TPU_* placeholders): single-process
+            print(f"init_multi_host: auto-detect failed ({e}); "
+                  "running single-process")
+    return jax.process_index() if _distributed_initialized else 0
+
+
+def make_mesh(n_devices: int = -1, multi_host: bool = False) -> Mesh:
+    """1-D ray-data-parallel mesh. With multi_host=True the mesh spans
+    jax.devices() across ALL processes of the jax.distributed cluster
+    (init_multi_host must have run first); each process feeds only its
+    addressable shard of every rays-sharded array."""
+    if multi_host:
+        init_multi_host()
     devices = jax.devices()
     if n_devices > 0:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (AXIS,))
+
+
+def local_batch_slice(mesh: Mesh, n_rays: int) -> slice:
+    """The [start, stop) ray range this process must materialize on host for
+    a rays-sharded array of global length n_rays (multi-host data loading:
+    each host only decodes/uploads its own slice)."""
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return slice(0, n_rays)
+    assert n_rays % n_proc == 0, (n_rays, n_proc)
+    per = n_rays // n_proc
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
 
 
 def batch_shardings(mesh: Mesh, batch: Dict, targets: Dict):

@@ -467,12 +467,23 @@ class TrainState:
         targets = {}
         colors = None
         depth_samples = None
+        placement = None
+        tracker = getattr(dataset, "sample_placement_tracker", None)
         self._last_pixels = []
         for k, idx in enumerate(image_indices):
             pix = self.pixel_idx_sequence_gen.pixel_indices(samples, dataset.h,
                                                             dataset.w)
             self._last_pixels.append(pix)
             dirs[k] = dataset.directions[pix]
+            if tracker is not None:
+                # literal reference computation (datasets.py:606-610):
+                # unpacked (h, w, max) -> (h*w, max), picked at the batch's
+                # pixel indices
+                if placement is None:
+                    placement = np.zeros(
+                        (n_img, samples, tracker.max_sample_count), np.float32)
+                placement[k] = tracker.get_unpacked_image(idx).reshape(
+                    dataset.h * dataset.w, -1)[pix]
             if dataset.color_images is not None:
                 if colors is None:
                     colors = np.zeros((n_img, samples, 3), np.float32)
@@ -488,6 +499,9 @@ class TrainState:
         if depth_samples is not None:
             batch[DatasetKeys.depth_image_samples] = \
                 jnp.asarray(depth_samples.reshape(-1, 1))
+        if placement is not None:
+            batch[DatasetKeys.sample_placement] = jnp.asarray(
+                placement.reshape(-1, placement.shape[-1]))
 
         # per-net targets (only nets with real targets get one)
         for i, f_out in enumerate(self.f_out):

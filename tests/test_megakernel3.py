@@ -82,7 +82,10 @@ def test_compact_matches_dense_v3_exactly(setup):
 
     rgb5, counts5 = _run(ts, dirs, pose, rot, tile=64, chunk=64)
     np.testing.assert_array_equal(counts5, out3[:, 3].astype(int))
-    np.testing.assert_allclose(rgb5, out3[:, :3], atol=0, rtol=0)
+    # v5's lane-packed norm reduces (l*l).sum() pairwise where v3 chains
+    # lx2+ly2+lz2 -> 1-ulp differences on a handful of pixels; anything
+    # beyond 2 ulp is a real bug
+    np.testing.assert_allclose(rgb5, out3[:, :3], atol=1.5e-7, rtol=0)
 
 
 @pytest.mark.parametrize("chunk", [32, 128])

@@ -31,21 +31,12 @@ def main():
     print(f"# init readback {time.perf_counter() - t0:.0f}s", flush=True)
 
     w = h = 800
-    rt, directions, scene = build_workload(w, h)
-    n_pix = directions.shape[0]
-    p0, p1 = rt.params[0], rt.params[1]
+    cache = {}
 
-    mk_cfg = SimpleNamespace(
-        numRaymarchSamples=[128, rt.max_samples],
-        adaptiveSamplingThreshold=rt.threshold,
-        posEnc=["nerf", "nerf"], posEncArgs=["10-4", "10-4"],
-        accumulationMult="alpha")
-    po = pack_oracle_weights(rt.oracle_def, p0, dtype=jnp.bfloat16)
-    pn = pack_nerf_weights(rt.nerf_def, p1, dtype=jnp.bfloat16)
-    dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(directions),
-                                       jnp.zeros(3), jnp.eye(3))
-    pose_row = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
-        jnp.asarray(np.asarray(scene.view_cell_center, np.float32) + 0.1))
+    def workload(avg):
+        if avg not in cache:
+            cache[avg] = build_workload(w, h, target_avg_samples=avg)
+        return cache[avg]
 
     variants = sys.argv[1:] or ["v3", "v5"]
     for spec in variants:
@@ -54,7 +45,25 @@ def main():
         for kv in opts.split(","):
             if kv:
                 k, v = kv.split("=")
-                kw[k] = int(v)
+                try:
+                    kw[k] = int(v)
+                except ValueError:
+                    kw[k] = v
+        avg_target = kw.pop("avg", 25) / 10.0  # avg=12 -> 1.2 samples/px
+        rt, directions, scene = workload(avg_target)
+        n_pix = directions.shape[0]
+        p0, p1 = rt.params[0], rt.params[1]
+        mk_cfg = SimpleNamespace(
+            numRaymarchSamples=[128, rt.max_samples],
+            adaptiveSamplingThreshold=rt.threshold,
+            posEnc=["nerf", "nerf"], posEncArgs=["10-4", "10-4"],
+            accumulationMult="alpha")
+        po = pack_oracle_weights(rt.oracle_def, p0, dtype=jnp.bfloat16)
+        pn = pack_nerf_weights(rt.nerf_def, p1, dtype=jnp.bfloat16)
+        dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(directions),
+                                           jnp.zeros(3), jnp.eye(3))
+        pose_row = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
+            jnp.asarray(np.asarray(scene.view_cell_center, np.float32) + 0.1))
         t0 = time.perf_counter()
         try:
             if name == "v3":
