@@ -387,5 +387,14 @@ class MultipleViewCellCameraDataset(CameraViewCellDataset):
 
 def load_dataset_split(config, dataset_info, set_name, num_samples=2048,
                        load_images=True):
+    """Pick the residency policy for a split (datasets.py:733-744 analog):
+    fully-loaded when the decoded split fits the host budget (on-device
+    gathers beat per-epoch PNG decodes), bounded-LRU streaming when it does
+    not. ``--storeFullData`` forces the fully-loaded path."""
+    if load_images and not config.storeFullData:
+        from .streaming import StreamingViewCellDataset, split_fits_in_memory
+        if not split_fits_in_memory(config, dataset_info, set_name):
+            return StreamingViewCellDataset(config, dataset_info, set_name,
+                                            num_samples)
     return ViewCellDataset(config, dataset_info, set_name, num_samples,
                            load_images)

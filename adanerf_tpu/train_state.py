@@ -20,7 +20,7 @@ import numpy as np
 import optax
 
 from .config import write_config_echo
-from .data.dataset import DatasetInfo, ViewCellDataset
+from .data.dataset import DatasetInfo, ViewCellDataset, load_dataset_split
 from .data.sampling import get_sequence_generator
 from .models.mlp import get_model, init_params
 from .pipeline.cascade import run_cascade
@@ -182,12 +182,12 @@ class TrainState:
             self.pixel_idx_sequence_gen = get_sequence_generator(
                 config.sampleGenerator, dims=2)
             if training:
-                self.train_dataset = ViewCellDataset(config, self.dataset_info,
-                                                     "train", config.samples)
-                self.valid_dataset = ViewCellDataset(config, self.dataset_info,
-                                                     "val", config.samples)
-            self.test_dataset = ViewCellDataset(config, self.dataset_info,
-                                                "test", self.w * self.h)
+                self.train_dataset = load_dataset_split(
+                    config, self.dataset_info, "train", config.samples)
+                self.valid_dataset = load_dataset_split(
+                    config, self.dataset_info, "val", config.samples)
+            self.test_dataset = load_dataset_split(
+                config, self.dataset_info, "test", self.w * self.h)
 
     # -- weight locking (train_data.py:378-400) -----------------------------
 
