@@ -33,9 +33,74 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .select_kernel import _lane_cumsum
-
 LANE = 128
+
+
+def _lane_cumsum(x_f32):
+    """Inclusive cumsum along the 128-lane axis as one MXU matmul with an
+    upper-triangular ones matrix (Pallas TPU has no cumsum lowering)."""
+    T, D = x_f32.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    tri = (rows <= cols).astype(jnp.float32)
+    return jnp.dot(x_f32, tri, preferred_element_type=jnp.float32)
+
+
+def _pad_to(x, rows, cols):
+    return jnp.zeros((rows, cols), x.dtype).at[:x.shape[0], :x.shape[1]].set(x)
+
+
+def pack_nerf_weights(nerf_def, params, dtype=jnp.bfloat16):
+    """Pad/split the NeRF param pytree into MXU-aligned matrices for the
+    in-kernel shading MLP (``_nerf_mlp``).
+
+    The skip connection (concat at layer `skip`, models.py:260-261) is
+    algebraically split into two matmuls (``[x, h] @ W == x @ W_x + h @ W_h``)
+    so every operand keeps 128-multiple shapes; inputs/weight rows are
+    zero-padded, which leaves results exact. Returns bf16 matrices + fp32
+    bias rows, all of whose dims are multiples of 128.
+    """
+    W = nerf_def.width
+    in_ch = nerf_def.input_ch
+    in_views = nerf_def.input_ch_views
+    skips = set(nerf_def.skips)
+    in_pad = LANE * math.ceil((in_ch + in_views) / LANE)
+
+    packed = {}
+    w0 = params["pts"][0]["w"].astype(dtype)
+    packed["w0"] = _pad_to(w0, in_pad, W)
+    packed["b0"] = params["pts"][0]["b"].astype(jnp.float32).reshape(1, W)
+
+    for i in range(1, nerf_def.depth):
+        p = params["pts"][i]
+        w = p["w"].astype(dtype)
+        if (i - 1) in skips:
+            # reference concat order is [input_pts, h] (models.py:261)
+            packed[f"wx{i}"] = _pad_to(w[:in_ch], in_pad, W)
+            packed[f"wh{i}"] = w[in_ch:]
+        else:
+            packed[f"wh{i}"] = w
+        packed[f"b{i}"] = p["b"].astype(jnp.float32).reshape(1, W)
+
+    half = W // 2
+    half_pad = LANE * math.ceil(half / LANE)
+    packed["wa"] = _pad_to(params["alpha"]["w"].astype(dtype), W, LANE)
+    packed["ba"] = _pad_to(
+        params["alpha"]["b"].astype(jnp.float32).reshape(1, 1), 1, LANE)
+    packed["wf"] = params["feature"]["w"].astype(dtype)
+    packed["bf"] = params["feature"]["b"].astype(jnp.float32).reshape(1, W)
+    # views layer input is [feature W | dirs in_views] (models.py:266)
+    wv = params["views"][0]["w"].astype(dtype)
+    packed["wv_f"] = _pad_to(wv[:W], W, half_pad)
+    wv_d = jnp.zeros((in_pad, half_pad), dtype)
+    wv_d = wv_d.at[in_ch:in_ch + in_views, :half].set(wv[W:W + in_views])
+    packed["wv_d"] = wv_d
+    packed["bv"] = _pad_to(params["views"][0]["b"].astype(jnp.float32)
+                           .reshape(1, half), 1, half_pad)
+    packed["wrgb"] = _pad_to(params["rgb"]["w"].astype(dtype), half_pad, LANE)
+    packed["brgb"] = _pad_to(params["rgb"]["b"].astype(jnp.float32)
+                             .reshape(1, 3), 1, LANE)
+    return packed
 
 
 def pack_oracle_weights(oracle_def, params, dtype=jnp.bfloat16):
@@ -240,7 +305,7 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
         oracle_out = _oracle_mlp(ow, x0.astype(ow["w0"].dtype),
                                  oracle_def.depth)[:, :D]
 
-        # adaptive select (threshold/top-S, bin order) — select_kernel body
+        # adaptive select (threshold/top-S, bin order) — same selection semantics as ops.samplers.adaptive_select
         d = oracle_out
         iota = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
         work = d

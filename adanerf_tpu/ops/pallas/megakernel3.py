@@ -50,9 +50,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .megakernel import (_lane_encode, _nerf_mlp, _oracle_mlp,
+from .megakernel import (_lane_cumsum, _lane_encode, _nerf_mlp, _oracle_mlp,
                          lane_encode_tables, pack_oracle_weights, prep_inputs)
-from .select_kernel import _lane_cumsum
 
 LANE = 128
 # One-hot gather/scatter matmul precision. "default" (single-pass bf16,

@@ -58,13 +58,7 @@ class RealtimeRenderer:
     def __init__(self, model_defs, params, scene, config,
                  batch_size: int = 80_000,
                  buckets: Tuple[float, ...] = (0.125, 0.25, 0.5, 1.0),
-                 dtype=jnp.bfloat16, compaction: bool = True,
-                 use_pallas_mlp: bool = False):
-        # NOTE: the fused Pallas MLP wins 3.6x in isolation but currently
-        # LOSES inside the full frame program (breaks XLA's surrounding
-        # fusion); keep it opt-in until the fused gather+encode+MLP kernel
-        # replaces the whole stage.
-        self._use_pallas_mlp = use_pallas_mlp
+                 dtype=jnp.bfloat16, compaction: bool = True):
         self.oracle_def, self.nerf_def = model_defs[0], model_defs[1]
         self.params = params
         self.scene = scene
@@ -89,8 +83,8 @@ class RealtimeRenderer:
         # aligned (S<=59 fits one lane group; dense S=128 uses 384)
         self._pack_width = 128 * ((6 + 2 * self.max_samples + 127) // 128)
 
-        # the fused Pallas MLP kernel wants capacities that are multiples of
-        # its row tile; rounding buckets up costs a sliver of padded compute
+        # capacities snap to a fixed tile so drift between frames re-picks a
+        # bucket instead of recompiling
         self._mlp_tile = 2048
         cap_unit = batch_size * self.max_samples
 
@@ -102,16 +96,6 @@ class RealtimeRenderer:
                                   for b in buckets})
         if self.capacities[-1] < cap_unit:
             self.capacities.append(round_tile(cap_unit))
-
-        # fused Pallas shading kernel (TPU-only; jnp fallback elsewhere —
-        # the kernel-vs-fallback duality of SURVEY.md §4)
-        self._packed_nerf = None
-        if (use_pallas_mlp and dtype == jnp.bfloat16
-                and jax.default_backend() == "tpu"
-                and self.nerf_def.width % 128 == 0):
-            from .ops.pallas.mlp_kernels import pack_nerf_weights
-            self._packed_nerf = pack_nerf_weights(self.nerf_def, params[1],
-                                                  dtype=jnp.bfloat16)
 
         self._oracle_fn = jax.jit(self._oracle_stage)
         self._shade_fns = {c: jax.jit(partial(self._shade_stage, capacity=c))
@@ -167,12 +151,11 @@ class RealtimeRenderer:
         return jnp.concatenate([self.enc1_pos(p), self.enc1_dir(dirs)], axis=-1)
 
     def _apply_nerf(self, params1, emb):
-        """Shading MLP: fused Pallas kernel when available, jnp otherwise."""
-        if self._packed_nerf is not None and emb.shape[0] % self._mlp_tile == 0:
-            from .ops.pallas.mlp_kernels import embed_pad, nerf_mlp_pallas
-            x = embed_pad(emb)
-            return nerf_mlp_pallas(self.nerf_def, self._packed_nerf, x,
-                                   tile=self._mlp_tile)
+        """Shading MLP inside the jitted stage. A standalone fused Pallas MLP
+        was measured 3.6x faster in isolation but SLOWER in context (it broke
+        XLA's surrounding fusion, BENCH.md round 1) — the winning fusion is
+        the whole-frame megakernel (ops/pallas/megakernel3.py), not a
+        kernel for this one stage."""
         return self.nerf_def.apply(params1, emb, dtype=self.dtype)
 
     def _composite(self, restored, z_world, z_probs, mask):

@@ -181,7 +181,7 @@ def main():
         from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
                                                        pack_oracle_weights,
                                                        prep_inputs)
-        from adanerf_tpu.ops.pallas.mlp_kernels import pack_nerf_weights
+        from adanerf_tpu.ops.pallas.megakernel import pack_nerf_weights
 
         mk_cfg = SimpleNamespace(
             numRaymarchSamples=[128, rt.max_samples],

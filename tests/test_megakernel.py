@@ -10,7 +10,7 @@ from adanerf_tpu.config import Config
 from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
                                                pack_oracle_weights,
                                                prep_inputs)
-from adanerf_tpu.ops.pallas.mlp_kernels import pack_nerf_weights
+from adanerf_tpu.ops.pallas.megakernel import pack_nerf_weights
 from adanerf_tpu.realtime import RealtimeRenderer
 from adanerf_tpu.train_state import TrainState
 

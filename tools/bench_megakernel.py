@@ -22,7 +22,7 @@ def main():
                                                    pack_oracle_weights,
                                                    prep_inputs)
     from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
-    from adanerf_tpu.ops.pallas.mlp_kernels import pack_nerf_weights
+    from adanerf_tpu.ops.pallas.megakernel import pack_nerf_weights
     from adanerf_tpu.utils.profiling import chain_slope_time
     from types import SimpleNamespace
 
