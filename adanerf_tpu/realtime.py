@@ -60,6 +60,7 @@ class RealtimeRenderer:
                  buckets: Tuple[float, ...] = (0.125, 0.25, 0.5, 1.0),
                  dtype=jnp.bfloat16, compaction: bool = True):
         self.oracle_def, self.nerf_def = model_defs[0], model_defs[1]
+        self.config = config
         self.params = params
         self.scene = scene
         self.batch_size = batch_size

@@ -199,6 +199,23 @@ class TrainState:
             if c.epochsLockWeightsAfter and len(c.epochsLockWeightsAfter) > net_idx else -1
         return e_bef, e_aft
 
+    def ever_unlocked(self, net_idx: int) -> bool:
+        """Static: is net_idx trainable at ANY epoch of the schedule? A net
+        locked for the whole run (e.g. the oracle in fine training,
+        epochsLockWeightsAfter=[0,-1]) never has its loss evaluated — the
+        reference skips locked criteria per-epoch (train.py:305-307), which
+        is what makes the fine config's (B,128)-oracle vs (B,S)-alpha
+        NeRFWeightMultiplicationLoss shapes legal there."""
+        e_bef, e_aft = self._lock_bounds(net_idx)
+        last = int(self.config_file.epochs)
+        if e_bef == -1 and e_aft == -1:
+            return True
+        if e_bef == -1:                      # locked for epoch > e_aft
+            return e_aft >= 1
+        if e_aft == -1:                      # locked for epoch < e_bef
+            return e_bef <= last
+        return e_aft >= 1 or e_bef <= last   # locked strictly in between
+
     def weights_locked(self, epoch, net_idx: int):
         """Traced-bool lock predicate; works for python ints too."""
         e_bef, e_aft = self._lock_bounds(net_idx)
@@ -234,7 +251,8 @@ class TrainState:
             total = 0.0
             per_net = []
             for i, crit in enumerate(losses):
-                if crit is None or loss_weights[i] == 0:
+                if crit is None or loss_weights[i] == 0 \
+                        or not self.ever_unlocked(i):
                     per_net.append(jnp.asarray(0.0))
                     continue
                 y = targets.get(i)

@@ -174,14 +174,16 @@ def main():
     avg_samples = float(np.sum(np.asarray(n_acts))) / n_pix
     path = "xla-pipeline"
 
-    # the fused Pallas megakernel (whole pipeline in one VMEM-resident
-    # kernel, lane-packed encodes) — currently ~2x the XLA pipeline; keep the
-    # XLA number as fallback if it fails to build on this backend
+    # the fused Pallas megakernels (whole pipeline in one VMEM-resident
+    # kernel): v3 shades all S slots dense; v5 compacts samples in-tile and
+    # shades exactly ceil(sum(count)/chunk) chunks. Measure both, keep the
+    # fastest; the XLA number stays as fallback if neither builds here.
     try:
         from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
+                                                       pack_nerf_weights,
                                                        pack_oracle_weights,
                                                        prep_inputs)
-        from adanerf_tpu.ops.pallas.megakernel import pack_nerf_weights
+        from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
 
         mk_cfg = SimpleNamespace(
             numRaymarchSamples=[128, rt.max_samples],
@@ -190,30 +192,43 @@ def main():
             accumulationMult="alpha")
         po = pack_oracle_weights(rt.oracle_def, p0, dtype=jnp.bfloat16)
         pn = pack_nerf_weights(rt.nerf_def, p1, dtype=jnp.bfloat16)
-        mk = make_megakernel(rt.oracle_def, rt.nerf_def, scene,
-                             mk_cfg, tile=256)(po, pn)
         dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(directions),
                                            jnp.zeros(3), jnp.eye(3))
         pose_rows = [jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
             jnp.asarray(p)) for p in poses]
 
-        def mrun2(n_frames):
-            t0 = time.perf_counter()
-            last = None
-            for f in range(n_frames):
-                last = mk(dirs_pad, pose_rows[f % len(pose_rows)], rot_pad)
-            float(probe(last[:, :3]))
-            return time.perf_counter() - t0
+        def time_kernel(mk):
+            def mrun(n_frames):
+                t0 = time.perf_counter()
+                last = None
+                for f in range(n_frames):
+                    last = mk(dirs_pad, pose_rows[f % len(pose_rows)],
+                              rot_pad)
+                float(probe(last[:, :3]))
+                return time.perf_counter() - t0
 
-        mrun2(1)
-        md1 = mrun2(n1)
-        md2 = mrun2(n2)
-        mega_s = (md2 - md1) / (n2 - n1)
-        if mega_s < per_frame_s:
-            per_frame_s = mega_s
-            path = "pallas-megakernel"
+            mrun(1)
+            return (mrun(n2) - mrun(n1)) / (n2 - n1)
+
+        for name, build in [
+                ("pallas-megakernel-v5", lambda: make_megakernel_compact(
+                    rt.oracle_def, rt.nerf_def, scene, mk_cfg,
+                    tile=256, chunk=256)(po, pn)),
+                ("pallas-megakernel-v3", lambda: make_megakernel(
+                    rt.oracle_def, rt.nerf_def, scene, mk_cfg,
+                    tile=256)(po, pn))]:
+            try:
+                mega_s = time_kernel(build())
+                print(f"# {name}: {mega_s * 1e3:.2f} ms/frame",
+                      file=sys.stderr)
+                if mega_s < per_frame_s:
+                    per_frame_s = mega_s
+                    path = name
+            except Exception as e:
+                print(f"# {name} skipped: {type(e).__name__}: {e}",
+                      file=sys.stderr)
     except Exception as e:
-        print(f"# megakernel path skipped: {type(e).__name__}: {e}",
+        print(f"# megakernel paths skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
 
     rays_per_s = n_pix / per_frame_s

@@ -103,3 +103,29 @@ def test_compact_chunk_sizes(setup, chunk):
     # different MLP batch shapes change the CPU dot's blocking -> 1-ulp
     # reduction-order differences; anything beyond that is a real bug
     np.testing.assert_allclose(rgb_a, rgb_b, atol=2e-7, rtol=0)
+
+
+def test_viewer_megakernel_renderer_wiring(setup):
+    """viewer.build_megakernel_renderer: pad-to-tile, pose/rot packing and
+    count slicing must reproduce the XLA frame renderer on a ragged ray
+    count."""
+    import viewer as viewer_mod
+
+    ts = setup
+    rt = RealtimeRenderer(ts.model_defs, ts.params, ts.scene, ts.config_file,
+                          batch_size=128, dtype=None)
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:150]   # not a tile multiple -> exercises pad
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    render = viewer_mod.build_megakernel_renderer(rt, ts.scene, dirs)
+    rgb, counts = render(rt.params[0], rt.params[1],
+                         jnp.asarray(pose), jnp.asarray(rot), None)
+
+    rgb_ref = rt.render_frame(pose, rot, dirs)
+    _pk, mask, _n = rt._oracle_fn(rt.params[0], jnp.asarray(pose),
+                                  jnp.asarray(rot), jnp.asarray(dirs))
+    np.testing.assert_array_equal(np.asarray(counts).astype(int),
+                                  np.asarray(mask).sum(axis=1))
+    np.testing.assert_allclose(np.asarray(rgb), rgb_ref, atol=2e-4)

@@ -61,3 +61,43 @@ def test_train_loop_and_render(scene_dir, tmp_path):
     files = os.listdir(out_dir)
     assert any(f.endswith("_depth.npz") for f in files)
     assert any(f.endswith("_weights.trch.npy") for f in files)
+
+
+def test_fine_adaptive_training_step(scene_dir, tmp_path):
+    """Fine-config training (adaptive sampler, S<bins, oracle locked from
+    epoch 0): the locked oracle's NeRFWeightMultiplicationLoss must be
+    statically skipped (reference train.py:305-307 skips locked criteria;
+    with S != multiDepthFeatures its shapes are incompatible by design) and
+    only net1 may train."""
+    import jax
+
+    log_dir = str(tmp_path / "logs_fine")
+    args = dense_config_args(scene_dir, log_dir, samples=32, epochs=3,
+                             threshold=0.2)
+    seen_after = 0
+    for i, a in enumerate(args):
+        if a == "--epochsLockWeightsAfter":
+            args[i + 1] = "0" if seen_after == 0 else "-1"
+            seen_after += 1
+    config = Config.init(argv=args)
+    assert config.numRaymarchSamples[0] != config.multiDepthFeatures[0] or \
+        config.numRaymarchSamples[0] == 16  # scene_utils tiny preset
+    ts = TrainState()
+    ts.initialize(config)
+    assert not ts.ever_unlocked(0) and ts.ever_unlocked(1)
+
+    step = ts.make_train_step()
+    batch, targets = ts.assemble_train_batch(ts.train_dataset,
+                                             np.array([0, 1]))
+    p0_before = jax.tree.map(lambda x: np.asarray(x).copy(), ts.params[0])
+    p1_before = jax.tree.map(lambda x: np.asarray(x).copy(), ts.params[1])
+    params, opts, per_net = step(ts.params, ts.opt_states, batch, targets,
+                                 1, jax.random.PRNGKey(0))
+    # locked oracle: loss reported 0, params bit-identical
+    assert float(per_net[0]) == 0.0 and np.isfinite(float(per_net[1]))
+    for a, b in zip(jax.tree.leaves(p0_before), jax.tree.leaves(params[0])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # net1 trained
+    changed = any(not np.array_equal(a, np.asarray(b)) for a, b in
+                  zip(jax.tree.leaves(p1_before), jax.tree.leaves(params[1])))
+    assert changed

@@ -107,6 +107,52 @@ def build_renderer_from_export(model_dir, batch_size, dtype_str="bf16"):
     return rt, scene
 
 
+def build_megakernel_renderer(rt, scene, dirs):
+    """Frame renderer through the fused whole-frame Pallas kernel
+    (ops/pallas/megakernel3.py) — the production analog of the viewer's
+    single CUDA+TensorRT loop. Same (frame, n_acts) contract as
+    RealtimeRenderer.make_frame_renderer."""
+    import jax.numpy as jnp
+
+    from adanerf_tpu.ops.pallas.megakernel import (pack_nerf_weights,
+                                                   pack_oracle_weights,
+                                                   prep_inputs)
+    from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
+
+    S = rt.max_samples
+    if not (rt.threshold > 0.0 and 8 * S <= 128):
+        raise SystemExit("--megakernel needs an adaptive model "
+                         f"(threshold>0, <=16 samples; got thr={rt.threshold}"
+                         f", S={S})")
+    config = rt.config
+
+    tile = 256
+    n_pix = dirs.shape[0]
+    n_pad = ((n_pix + tile - 1) // tile) * tile
+    dirs_padded = np.zeros((n_pad, 3), np.float32)
+    dirs_padded[:n_pix] = dirs
+    dirs_pad, _, _ = prep_inputs(jnp.asarray(dirs_padded), jnp.zeros(3),
+                                 np.eye(3, dtype=np.float32))
+
+    import jax
+    dtype = rt.dtype or jnp.float32
+    po = pack_oracle_weights(rt.oracle_def, rt.params[0], dtype=dtype)
+    pn = pack_nerf_weights(rt.nerf_def, rt.params[1], dtype=dtype)
+    mk = make_megakernel_compact(rt.oracle_def, rt.nerf_def, scene, config,
+                                 tile=tile, chunk=tile,
+                                 interpret=jax.default_backend() != "tpu"
+                                 )(po, pn)
+
+    def render(p0, p1, pose, rot, dirs_dev):
+        pose8 = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(pose)
+        rot_pad = jnp.zeros((128, 128), jnp.float32) \
+            .at[:3, :3].set(jnp.asarray(rot).T)
+        out = mk(dirs_pad, pose8, rot_pad)
+        return out[:n_pix, :3], out[:n_pix, 3]
+
+    return render
+
+
 def orbit_poses(center, radius, n, phase=0.0):
     """In-view-cell orbit (the WASD camera's role, headless)."""
     poses = []
@@ -133,6 +179,10 @@ def main(argv=None):
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--dynamic", action="store_true",
                    help="in-graph lax.switch bucketing instead of a probed fixed capacity")
+    p.add_argument("--megakernel", action="store_true",
+                   help="render through the fused whole-frame Pallas kernel "
+                        "(ops/pallas/megakernel3.py) instead of the XLA "
+                        "bucketed pipeline")
     args = p.parse_args(argv)
 
     import jax
@@ -163,7 +213,9 @@ def main(argv=None):
     # compile + warm the transfer path (the engine-build phase)
     t0 = time.perf_counter()
     capacity = None
-    if rt.compaction and not args.dynamic:
+    if args.megakernel:
+        render = build_megakernel_renderer(rt, scene, dirs)
+    elif rt.compaction and not args.dynamic:
         # probe live counts once, compile one fixed-capacity frame program
         # (the TRT optimization-profile pattern; ~1.5x faster than the
         # in-graph lax.switch)
@@ -189,7 +241,8 @@ def main(argv=None):
         capacity = rt.choose_frame_capacity(np.concatenate(counts))
         print(f"fixed frame capacity: {capacity} "
               f"(max live {int(np.max(np.concatenate(counts)))})")
-    render = rt.make_frame_renderer(n_pix, capacity=capacity)
+    if not args.megakernel:
+        render = rt.make_frame_renderer(n_pix, capacity=capacity)
 
     frame, n_acts = render(p0, p1, jnp.asarray(cams[0][0], jnp.float32),
                            jnp.asarray(cams[0][1], jnp.float32), dirs_dev)
