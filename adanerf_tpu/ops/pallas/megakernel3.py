@@ -66,7 +66,8 @@ _PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
 def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             tile: int = 256, chunk: int = 256,
                             interpret: bool = False, precision: str = "default",
-                            no_shade: bool = False, no_encode: bool = False):
+                            no_shade: bool = False, no_encode: bool = False,
+                            stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
     megakernel.make_megakernel."""
@@ -128,6 +129,11 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         x0 = _lane_encode(coords_o, *ot)
         d = _oracle_mlp(ow, x0.astype(ow["w0"].dtype), oracle_def.depth)[:, :D]
 
+        if stop_after == "oracle":  # profiling hook: ray setup + oracle MLP
+            out_ref[:] = d[:, :LANE] if D >= LANE else jnp.concatenate(
+                [d, jnp.zeros((T, LANE - D), jnp.float32)], axis=1)
+            return
+
         iota = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
         work = d
         v_k = None
@@ -150,6 +156,11 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         rowcum = _lane_cumsum(keep.astype(jnp.float32)).astype(jnp.int32)
         n_per = jnp.sum(keep.astype(jnp.int32), axis=1)
 
+        if stop_after == "select":  # profiling hook: + top-S/threshold keep
+            out_ref[:] = jnp.broadcast_to(
+                n_per.astype(jnp.float32)[:, None], (T, LANE))
+            return
+
         keep_f = keep.astype(jnp.float32)
         iota_f = iota.astype(jnp.float32)
         z_cols, p_cols = [], []
@@ -160,6 +171,12 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 .astype(jnp.float32)
             z_cols.append(transform.to_world((bin_s + 0.5) * cell, dr) * live)
             p_cols.append(jnp.sum(d * sel, axis=1, keepdims=True) * live)
+
+        if stop_after == "zcols":  # profiling hook: + per-slot z/prob packing
+            out_ref[:] = jnp.concatenate(
+                z_cols + p_cols
+                + [jnp.zeros((T, LANE - 2 * S), jnp.float32)], axis=1)
+            return
 
         # ---- compaction ----
         c = n_per.astype(jnp.float32)[:, None]                   # (T, 1)
@@ -280,6 +297,10 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 acc_ref[:, :pw * S] += jnp.dot(
                     onehotT, payload, preferred_element_type=jnp.float32,
                     precision=prec)                              # (T, pw*S)
+
+        if stop_after == "compact":  # profiling hook: skip the composite
+            out_ref[:] = acc_ref[:, :]
+            return
 
         # ---- composite: v3's exact S-step recurrence ----
         trans = jnp.ones((T, 1), jnp.float32)
