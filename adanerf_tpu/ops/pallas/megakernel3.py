@@ -163,14 +163,19 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
         keep_f = keep.astype(jnp.float32)
         iota_f = iota.astype(jnp.float32)
+        # rank[t,d] = s+1 exactly at the (s+1)-th kept bin, 0 elsewhere
+        # (rowcum holds s+1 on a run starting there, keep picks the head),
+        # so each slot's one-hot is ONE wide compare; slot liveness is the
+        # narrow count compare n_per > s (no per-slot reduction needed)
+        rank = rowcum.astype(jnp.float32) * keep_f
+        n_per_col = n_per.astype(jnp.float32)[:, None]
         z_cols, p_cols = [], []
         for s in range(S):
-            sel = keep_f * (rowcum == (s + 1)).astype(jnp.float32)
+            sel = (rank == (s + 1)).astype(jnp.float32)
             bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
-            live = (jnp.sum(sel, axis=1, keepdims=True) > 0) \
-                .astype(jnp.float32)
+            live = (n_per_col > s).astype(jnp.float32)
             z_cols.append(transform.to_world((bin_s + 0.5) * cell, dr) * live)
-            p_cols.append(jnp.sum(d * sel, axis=1, keepdims=True) * live)
+            p_cols.append(jnp.sum(d * sel, axis=1, keepdims=True))
 
         if stop_after == "zcols":  # profiling hook: + per-slot z/prob packing
             out_ref[:] = jnp.concatenate(
@@ -302,33 +307,26 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
             out_ref[:] = acc_ref[:, :]
             return
 
-        # ---- composite: v3's exact S-step recurrence ----
+        # ---- composite: v3's exact S-step recurrence, rgba lane-packed
+        # (each slot's r,g,b,a ride one (T,4) slice; one sigmoid per slot
+        # instead of four single-lane ones — identical values/order) ----
         trans = jnp.ones((T, 1), jnp.float32)
-        acc_r = jnp.zeros((T, 1), jnp.float32)
-        acc_g = jnp.zeros((T, 1), jnp.float32)
-        acc_b = jnp.zeros((T, 1), jnp.float32)
+        acc_rgb = jnp.zeros((T, 3), jnp.float32)
         for s in range(S):
             live = (c > jnp.float32(s)).astype(jnp.float32)
-            r_s = acc_ref[:, pw * s + 0:pw * s + 1]
-            g_s = acc_ref[:, pw * s + 1:pw * s + 2]
-            b_s = acc_ref[:, pw * s + 2:pw * s + 3]
-            a_s = acc_ref[:, pw * s + 3:pw * s + 4]
+            rgba_s = acc_ref[:, pw * s:pw * s + 4]
             if use_split:
-                r_s = r_s + acc_ref[:, pw * s + 4:pw * s + 5]
-                g_s = g_s + acc_ref[:, pw * s + 5:pw * s + 6]
-                b_s = b_s + acc_ref[:, pw * s + 6:pw * s + 7]
-                a_s = a_s + acc_ref[:, pw * s + 7:pw * s + 8]
-            sig_a = jax.nn.sigmoid(a_s) * live
+                rgba_s = rgba_s + acc_ref[:, pw * s + 4:pw * s + 8]
+            sig = jax.nn.sigmoid(rgba_s)                          # (T, 4)
+            sig_a = sig[:, 3:4] * live
             if acc_alpha:
                 sig_a = sig_a * p_cols[s]
             w_s = sig_a * trans
             trans = trans * (1.0 - sig_a + 1e-10)
-            acc_r = acc_r + w_s * jax.nn.sigmoid(r_s)
-            acc_g = acc_g + w_s * jax.nn.sigmoid(g_s)
-            acc_b = acc_b + w_s * jax.nn.sigmoid(b_s)
+            acc_rgb = acc_rgb + w_s * sig[:, 0:3]
 
         pad = jnp.zeros((T, LANE - 4), jnp.float32)
-        out_ref[:] = jnp.concatenate([acc_r, acc_g, acc_b, c, pad], axis=1)
+        out_ref[:] = jnp.concatenate([acc_rgb, c, pad], axis=1)
 
     _ORACLE_KEYS = None
     _NERF_KEYS = None
