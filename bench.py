@@ -107,8 +107,16 @@ def build_workload(w=800, h=800, max_samples=8, threshold=0.2,
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--export-dir", default=None,
+                    help="measure a TRAINED exported model (viewer-export "
+                         "dir) instead of the calibrated random workload")
+    cli = ap.parse_args()
 
     # pay the per-process transfer-path init on a trivial constant
     t0 = time.perf_counter()
@@ -116,7 +124,15 @@ def main():
     init_s = time.perf_counter() - t0
 
     w = h = 800
-    rt, directions, scene = build_workload(w, h)
+    if cli.export_dir:
+        from adanerf_tpu.ops.raygen import generate_ray_directions
+        from viewer import build_renderer_from_export
+        rt, scene = build_renderer_from_export(cli.export_dir, 80_000)
+        focal = 0.5 * w / np.tan(0.5 * scene.fov)
+        directions = generate_ray_directions(w, h, scene.fov, focal) \
+            .reshape(-1, 3).astype(np.float32)
+    else:
+        rt, directions, scene = build_workload(w, h)
     n_pix = directions.shape[0]
 
     dirs_dev = jnp.asarray(directions)  # uploaded once
@@ -125,7 +141,9 @@ def main():
 
     rng = np.random.RandomState(1)
     center = np.asarray(scene.view_cell_center)
-    poses = [jnp.asarray(center + rng.uniform(-0.2, 0.2, 3), jnp.float32)
+    # in-cell poses at ~0.38 radius (0.2 at the synthetic workload's 0.52)
+    poses = [jnp.asarray(center + rng.uniform(-1.0, 1.0, 3)
+                         * 0.38 * scene.view_cell_radius, jnp.float32)
              for _ in range(32)]
     rot = jnp.eye(3)
 
@@ -185,11 +203,7 @@ def main():
                                                        prep_inputs)
         from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
 
-        mk_cfg = SimpleNamespace(
-            numRaymarchSamples=[128, rt.max_samples],
-            adaptiveSamplingThreshold=rt.threshold,
-            posEnc=["nerf", "nerf"], posEncArgs=["10-4", "10-4"],
-            accumulationMult="alpha")
+        mk_cfg = rt.config
         po = pack_oracle_weights(rt.oracle_def, p0, dtype=jnp.bfloat16)
         pn = pack_nerf_weights(rt.nerf_def, p1, dtype=jnp.bfloat16)
         dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(directions),

@@ -193,7 +193,9 @@ def main(argv=None):
     w, h = args.size
     rt, scene = build_renderer_from_export(args.model_dir, args.batch_size,
                                            "fp32" if args.fp32 else "bf16")
-    dirs = generate_ray_directions(w, h, scene.fov, scene.focal) \
+    # render-size focal: keep the exported fov at any -s resolution
+    focal = 0.5 * w / np.tan(0.5 * scene.fov)
+    dirs = generate_ray_directions(w, h, scene.fov, focal) \
         .reshape(-1, 3).astype(np.float32)
     n_pix = dirs.shape[0]
     dirs_dev = jnp.asarray(dirs)
