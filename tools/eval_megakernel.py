@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Quality x speed coupling on ONE model: render a scene's test split through
+the production fused Pallas megakernel (the path bench.py/viewer.py time) and
+report per-image + mean PSNR against the ground-truth PNGs, plus the same
+frames through the fp32 XLA chunked renderer for a kernel-vs-reference-path
+delta. This is the TPU analog of the reference's claim that the CUDA viewer
+renders "within 0.1 dB" of the offline evaluator (imagegenerator.cpp:370-393
+vs evaluate.py:322-342).
+
+Usage:
+  python tools/eval_megakernel.py <export_dir> <scene_dir> [--out dir]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def psnr(a, b):
+    mse = float(np.mean((a - b) ** 2))
+    return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("export_dir")
+    ap.add_argument("scene_dir")
+    ap.add_argument("--out", default=None, help="dump rendered frames here")
+    ap.add_argument("--set", default="test")
+    ap.add_argument("--fp32-delta", action="store_true",
+                    help="also render through the fp32 XLA chunked pipeline "
+                         "and report the kernel-vs-fp32 PSNR delta")
+    args = ap.parse_args()
+
+    from adanerf_tpu.platform import apply_platform_env
+    apply_platform_env()
+
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    from adanerf_tpu.ops.raygen import generate_ray_directions
+    from viewer import build_megakernel_renderer, build_renderer_from_export
+
+    with open(os.path.join(args.scene_dir, "dataset_info.json")) as f:
+        info = json.load(f)
+    w, h = info["resolution"]
+    with open(os.path.join(args.scene_dir,
+                           f"transforms_{args.set}.json")) as f:
+        frames = json.load(f)["frames"]
+
+    rt, scene = build_renderer_from_export(args.export_dir, batch_size=80_000)
+    focal = 0.5 * w / np.tan(0.5 * scene.fov)
+    dirs = generate_ray_directions(w, h, scene.fov, focal) \
+        .reshape(-1, 3).astype(np.float32)
+
+    render = build_megakernel_renderer(rt, scene, dirs)
+    rt32 = None
+    if args.fp32_delta:
+        rt32, _ = build_renderer_from_export(args.export_dir,
+                                             batch_size=80_000, dtype_str="fp32")
+
+    rows = []
+    for fr in frames:
+        t = np.array(fr["transform_matrix"], np.float32)
+        pose, rot = t[:3, 3], t[:3, :3]
+        gt_path = os.path.join(args.scene_dir, fr["file_path"][2:] + ".png")
+        gt = imageio.imread(gt_path).astype(np.float32)[..., :3] / 255.0
+        rgb, counts = render(rt.params[0], rt.params[1],
+                             jnp.asarray(pose), jnp.asarray(rot), None)
+        img = np.clip(np.asarray(rgb), 0, 1).reshape(h, w, 3)
+        row = {"name": os.path.basename(gt_path),
+               "psnr_mk": psnr(img, gt),
+               "avg_samples": float(np.mean(np.asarray(counts)))}
+        if args.fp32_delta:
+            ref = np.clip(np.asarray(
+                rt32.render_frame(pose, rot, dirs)), 0, 1).reshape(h, w, 3)
+            row["psnr_fp32"] = psnr(ref, gt)
+            row["psnr_mk_vs_fp32"] = psnr(img, ref)
+        rows.append(row)
+        print(" ".join(f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
+                       for k, v in row.items()), flush=True)
+        if args.out:
+            os.makedirs(args.out, exist_ok=True)
+            imageio.imwrite(
+                os.path.join(args.out, row["name"]),
+                (img * 255).astype(np.uint8))
+
+    mean = {k: float(np.mean([r[k] for r in rows]))
+            for k in rows[0] if k != "name"}
+    print(json.dumps({"set": args.set, "n": len(rows), **mean}))
+
+
+if __name__ == "__main__":
+    main()
