@@ -218,11 +218,18 @@ def lane_encode_tables(blocks, n_coords=8, lanes=LANE):
 
 
 def _lane_encode(coords8, sel_ref, freq_ref, ident_ref, sin_ref, cos_ref):
-    """coords8: (T, 8) packed coordinates -> (T, 128) encoded row."""
+    """coords8: (T, 8) packed coordinates -> (T, 128) encoded row.
+
+    One transcendental chain instead of two: cos lanes evaluate
+    ``sin(arg + pi/2)`` (the sin/cos masks double as a lane-shift table).
+    The phase add costs ~ulp(arg) ~ 3e-5 absolute at the top frequency
+    band — far inside the kernels' 2e-4 agreement budget with the XLA
+    pipeline, and identical across v3/v5 (both call this helper)."""
     arg = jnp.dot(coords8, sel_ref[:],
                   preferred_element_type=jnp.float32) * freq_ref[:]
-    return (ident_ref[:] * arg + sin_ref[:] * jnp.sin(arg)
-            + cos_ref[:] * jnp.cos(arg))
+    shifted = arg + cos_ref[:] * jnp.float32(np.pi / 2)
+    return ident_ref[:] * arg \
+        + (sin_ref[:] + cos_ref[:]) * jnp.sin(shifted)
 
 
 def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,

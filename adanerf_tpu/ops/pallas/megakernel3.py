@@ -88,14 +88,22 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
     assert 8 * S <= LANE, "hi/lo split payload must fit one lane tile"
 
     prec = _PRECISIONS[precision]
+    pw_build = 8 if precision == "default" else 4  # scatter payload lanes/slot
     o_tables = lane_encode_tables([([0, 1, 2], fd0), ([3, 4, 5], fp0)])
     n_tables = lane_encode_tables([([0, 1, 2], fp1), ([3, 4, 5], fd1)])
     # strict lower-triangular ones: exclusive prefix sum as a matmul;
     # identity: column->row reorientation as a matmul (no transposes)
     tril = np.tril(np.ones((tile, tile), np.float32), k=-1)
     eye = np.eye(tile, dtype=np.float32)
+    # slot-structured constants for the scatter payload: rgba -> lane-tiled
+    # copies, slot mask -> per-slot lane groups (one MXU op each; 0/1
+    # entries are exact at any matmul precision)
+    tile_pw_c = np.tile(np.eye(pw_build, dtype=np.float32), (1, S))
+    expand_s_c = np.kron(np.eye(S, dtype=np.float32),
+                         np.ones((1, pw_build), np.float32))
 
-    def kernel(dirs_ref, pose_ref, rot_ref, tril_ref, eye_ref, *wrefs):
+    def kernel(dirs_ref, pose_ref, rot_ref, tril_ref, eye_ref,
+               tile_pw_ref, expand_s_ref, *wrefs):
         ot = wrefs[0:5]
         nt = wrefs[5:10]
         wrefs = wrefs[10:]
@@ -103,7 +111,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
         nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-2])}
         out_ref = wrefs[-2]
-        acc_ref = wrefs[-1]  # (tile, 128) f32 scratch: [:, :4*S] slot rgba
+        acc_ref = wrefs[-1]  # (tile, pw*S) f32 scratch: per-slot raw rgba
 
         T = tile
         dirs_pad = dirs_ref[:]
@@ -209,19 +217,28 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
             hi = v.astype(jnp.bfloat16).astype(jnp.float32)
             return hi, v - hi
 
+        # hi/lo pieces ride CONTIGUOUS half-width lane groups so the whole
+        # recombination after the gather is ONE (chunk, HW) add:
+        #   hi half: [o_hi(3) | z_hi(S) | 128*cum_hi(1) | cd(3)]
+        #   lo half: [o_lo(3) | z_lo(S) |     cum_lo(1) |  0(3)]
+        # 128*cum_hi stays bf16-exact (multiples of 128 up to 16*128 share
+        # cum_hi's mantissa), so hi+lo reconstructs cum_excl directly.
         o_his, o_los = zip(*[split_hi_lo(v) for v in (prx, pry, prz)])
         z_his, z_los = zip(*[split_hi_lo(z) for z in z_cols])
         cum_hi = jnp.floor(cum_excl * (1.0 / 128.0))
         cum_lo = cum_excl - cum_hi * 128.0
-        n_lanes = 3 + 3 + 3 + 2 * S + 2
-        V = 32 if n_lanes <= 32 else 64
+        HW = 16 if (S + 7) <= 16 else 32
+        V = 2 * HW
+        padh = jnp.zeros((T, HW - (S + 7)), jnp.float32)
+        zero3 = jnp.zeros((T, 3), jnp.float32)
         vals = jnp.concatenate(
-            list(o_his) + list(o_los) + [ndx, ndy, ndz]
-            + list(z_his) + list(z_los)
-            + [cum_hi, cum_lo, jnp.zeros((T, V - n_lanes), jnp.float32)],
+            list(o_his) + list(z_his) + [cum_hi * 128.0, ndx, ndy, ndz, padh]
+            + list(o_los) + list(z_los) + [cum_lo, zero3, padh],
             axis=1)
 
-        acc_ref[:, :] = jnp.zeros((T, LANE), jnp.float32)
+        use_split = precision == "default"
+        pw = 8 if use_split else 4
+        acc_ref[:, :] = jnp.zeros((T, pw * S), jnp.float32)
 
         # row-oriented copies of the offsets so BOTH one-hot masks build as
         # plain broadcast compares and BOTH matmuls run in standard (non-
@@ -236,44 +253,55 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (1, S), 1).astype(jnp.float32)            # (1, S)
 
-        use_split = precision == "default"
-        pw = 8 if use_split else 4
+        # loop-invariant pieces hoisted out of the chunk loop
+        jrow_base = jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, T), 0).astype(jnp.float32)
+        jcolT_base = jax.lax.broadcasted_iota(
+            jnp.int32, (T, chunk), 1).astype(jnp.float32)
+        jcol_base = jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, 1), 0).astype(jnp.float32)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+        center_row = jnp.where(
+            lane3 == 0, jnp.float32(center[0]),
+            jnp.where(lane3 == 1, jnp.float32(center[1]),
+                      jnp.float32(center[2])))
+        tile_pw = tile_pw_ref[:]
+        expand_s = expand_s_ref[:]
+
         for k in range(n_chunks):
             @pl.when(jnp.float32(k * chunk) < total)
             def _(k=k):
                 # ray-assignment one-hots for this chunk's rows; lane-packed
                 # compares only — no transposes
-                jrow = jax.lax.broadcasted_iota(
-                    jnp.int32, (chunk, T), 0).astype(jnp.float32) \
-                    + jnp.float32(k * chunk)
+                jrow = jrow_base + jnp.float32(k * chunk)
                 onehot = ((jrow >= cum_excl_row)
                           & (jrow < cum_incl_row)).astype(jnp.float32)
-                jcolT = jax.lax.broadcasted_iota(
-                    jnp.int32, (T, chunk), 1).astype(jnp.float32) \
-                    + jnp.float32(k * chunk)
+                jcolT = jcolT_base + jnp.float32(k * chunk)
                 onehotT = ((jcolT >= cum_excl)
                            & (jcolT < cum_incl)).astype(jnp.float32)
                 cvals = jnp.dot(onehot, vals,
                                 preferred_element_type=jnp.float32,
                                 precision=prec)                  # (chunk, V)
-                co = cvals[:, 0:3] + cvals[:, 3:6]               # (chunk, 3)
-                cd = cvals[:, 6:9]
-                ccum = cvals[:, 9 + 2 * S:10 + 2 * S] * 128.0 \
-                    + cvals[:, 10 + 2 * S:11 + 2 * S]
-                jcol = jax.lax.broadcasted_iota(
-                    jnp.int32, (chunk, 1), 0).astype(jnp.float32) \
-                    + jnp.float32(k * chunk)
+                if stop_after == "minimal":  # profiling hook: one-hots +
+                    # gather + scatter only (no mid machinery/encode/MLP)
+                    acc_ref[:, :] += jnp.dot(
+                        onehotT,
+                        jnp.dot(cvals[:, 0:pw], tile_pw,
+                                preferred_element_type=jnp.float32,
+                                precision=prec),
+                        preferred_element_type=jnp.float32, precision=prec)
+                    return
+                g = cvals[:, 0:HW] + cvals[:, HW:2 * HW]  # hi+lo recombine
+                co = g[:, 0:3]                                   # (chunk, 3)
+                zpieces = g[:, 3:3 + S]
+                ccum = g[:, 3 + S:4 + S]
+                cd = g[:, 4 + S:7 + S]
+                jcol = jcol_base + jnp.float32(k * chunk)
                 s_j = jcol - ccum                                # (chunk, 1)
                 smask = (s_j == slot_iota).astype(jnp.float32)   # (chunk, S)
-                zpieces = cvals[:, 9:9 + S] + cvals[:, 9 + S:9 + 2 * S]
                 z_sel = jnp.sum(zpieces * smask, axis=1, keepdims=True)
 
                 spos = co + cd * z_sel                           # (chunk, 3)
-                lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
-                center_row = jnp.where(
-                    lane3 == 0, jnp.float32(center[0]),
-                    jnp.where(lane3 == 1, jnp.float32(center[1]),
-                              jnp.float32(center[2])))
                 l = spos - center_row
                 norm = jnp.sqrt(jnp.sqrt(
                     jnp.sum(l * l, axis=1, keepdims=True)))
@@ -296,15 +324,19 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 if use_split:
                     rg_hi, rg_lo = split_hi_lo(rgba)
                     rgba = jnp.concatenate([rg_hi, rg_lo], axis=1)
-                payload = jnp.concatenate(
-                    [rgba * smask[:, s:s + 1] for s in range(S)],
-                    axis=1)                                      # (chunk, pw*S)
-                acc_ref[:, :pw * S] += jnp.dot(
+                payload = jnp.dot(rgba, tile_pw,
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec) \
+                    * jnp.dot(smask, expand_s,
+                              preferred_element_type=jnp.float32)
+                acc_ref[:, :] += jnp.dot(
                     onehotT, payload, preferred_element_type=jnp.float32,
                     precision=prec)                              # (T, pw*S)
 
         if stop_after == "compact":  # profiling hook: skip the composite
-            out_ref[:] = acc_ref[:, :]
+            out_ref[:] = jnp.concatenate(
+                [acc_ref[:, :], jnp.zeros((T, LANE - pw * S), jnp.float32)],
+                axis=1)
             return
 
         # ---- composite: v3's exact S-step recurrence, rgba lane-packed
@@ -348,6 +380,10 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                         pl.BlockSpec((tile, tile), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((tile, tile), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(tile_pw_c.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(expand_s_c.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)]
             ws = []
             for tbl in list(o_tables) + list(n_tables):
@@ -371,10 +407,11 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((tile, LANE), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((tile, pw_build * S), jnp.float32)],
                 interpret=interpret,
             )(jnp.asarray(dirs_pad), pose8, rot_pad, jnp.asarray(tril),
-              jnp.asarray(eye), *ws)
+              jnp.asarray(eye), jnp.asarray(tile_pw_c),
+              jnp.asarray(expand_s_c), *ws)
 
         return run
 

@@ -86,16 +86,30 @@ def build_renderer_from_export(model_dir, batch_size, dtype_str="bf16"):
         depth_transform=depth_transform,
         depth_max=float(info["max_depth"]))
 
-    # rebuild model definitions from the stored config
+    # model definitions: inferred from the weight files themselves (the
+    # minimal viewer config.ini — e.g. the reference's sample_pavillon_16 —
+    # omits layers/layerWidth and lets the C++ viewer default them); the
+    # stored config remains the source for encodings and sampling.
     args0 = [int(x) for x in config.posEncArgs[0].split('-')]
     args1 = [int(x) for x in config.posEncArgs[1].split('-')]
     n_in0 = args0[0] * 6 + 3 + 3 + args0[1] * 6
-    oracle = BaseNetDef(depth=int(cfg["layers"][0]), width=int(cfg["layerWidth"][0]),
-                        n_in=n_in0, n_out=int(cfg["multiDepthFeatures"][0]),
-                        skip="", net_idx=0)
-    nerf = NeRFDef(depth=int(cfg["layers"][1]), width=int(cfg["layerWidth"][1]),
-                   input_ch=args1[0] * 6 + 3, input_ch_views=args1[1] * 6 + 3,
-                   n_out=4, skips=(4,), net_idx=1)
+    w0 = np.load(os.path.join(model_dir, "model0.weights"))
+    depth0 = sum(1 for k in w0.files if k.endswith(".w"))
+    width0 = int(w0["0.w"].shape[1])
+    n_out0 = int(w0[f"{depth0 - 1}.w"].shape[1])
+    oracle = BaseNetDef(depth=depth0, width=width0,
+                        n_in=n_in0, n_out=n_out0, skip="", net_idx=0)
+    w1 = np.load(os.path.join(model_dir, "model1.weights"))
+    depth1 = sum(1 for k in w1.files
+                 if k.startswith("pts.") and k.endswith(".w"))
+    width1 = int(w1["pts.0.w"].shape[1])
+    in_ch1 = int(w1["pts.0.w"].shape[0])
+    skips1 = tuple(i - 1 for i in range(1, depth1)
+                   if w1[f"pts.{i}.w"].shape[0] > width1)
+    in_views1 = int(w1["views.0.w"].shape[0]) - width1
+    nerf = NeRFDef(depth=depth1, width=width1,
+                   input_ch=in_ch1, input_ch_views=in_views1,
+                   n_out=4, skips=skips1 or (4,), net_idx=1)
     import jax
     params = [oracle.init(jax.random.PRNGKey(0)), nerf.init(jax.random.PRNGKey(1))]
     params[0] = load_tree(os.path.join(model_dir, "model0.weights"), params[0])
