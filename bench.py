@@ -91,8 +91,10 @@ def build_workload(w=800, h=800, max_samples=8, threshold=0.2,
         def body(_, lohi):
             lo, hi = lohi
             mid = 0.5 * (lo + hi)
-            kept = jnp.minimum(jnp.sum(out + mid >= threshold, axis=1),
-                               max_samples).mean()
+            # model the renderer's actual keep count: threshold keep capped
+            # at max_samples, with the empty-ray fallback keeping 1 sample
+            kept = jnp.clip(jnp.sum(out + mid >= threshold, axis=1),
+                            1, max_samples).mean()
             low = kept < target_avg_samples
             return (jnp.where(low, mid, lo), jnp.where(low, hi, mid))
 
