@@ -121,14 +121,15 @@ def build_renderer_from_export(model_dir, batch_size, dtype_str="bf16"):
     return rt, scene
 
 
-def build_megakernel_renderer(rt, scene, dirs):
+def build_megakernel_renderer(rt, scene, dirs, variant="v5"):
     """Frame renderer through the fused whole-frame Pallas kernel
     (ops/pallas/megakernel3.py) — the production analog of the viewer's
     single CUDA+TensorRT loop. Same (frame, n_acts) contract as
     RealtimeRenderer.make_frame_renderer."""
     import jax.numpy as jnp
 
-    from adanerf_tpu.ops.pallas.megakernel import (pack_nerf_weights,
+    from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
+                                                   pack_nerf_weights,
                                                    pack_oracle_weights,
                                                    prep_inputs)
     from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
@@ -152,10 +153,14 @@ def build_megakernel_renderer(rt, scene, dirs):
     dtype = rt.dtype or jnp.float32
     po = pack_oracle_weights(rt.oracle_def, rt.params[0], dtype=dtype)
     pn = pack_nerf_weights(rt.nerf_def, rt.params[1], dtype=dtype)
-    mk = make_megakernel_compact(rt.oracle_def, rt.nerf_def, scene, config,
-                                 tile=tile, chunk=tile,
-                                 interpret=jax.default_backend() != "tpu"
-                                 )(po, pn)
+    interp = jax.default_backend() != "tpu"
+    if variant == "v3":   # dense-slot kernel: wins when rays sit at the cap
+        mk = make_megakernel(rt.oracle_def, rt.nerf_def, scene, config,
+                             tile=tile, interpret=interp)(po, pn)
+    else:                 # v5 in-tile compaction: wins sparse workloads
+        mk = make_megakernel_compact(rt.oracle_def, rt.nerf_def, scene,
+                                     config, tile=tile, chunk=tile,
+                                     interpret=interp)(po, pn)
 
     def render(p0, p1, pose, rot, dirs_dev):
         pose8 = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(pose)
@@ -193,7 +198,8 @@ def main(argv=None):
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--dynamic", action="store_true",
                    help="in-graph lax.switch bucketing instead of a probed fixed capacity")
-    p.add_argument("--megakernel", action="store_true",
+    p.add_argument("--megakernel", nargs="?", const="v5", default=None,
+                   choices=["v5", "v3"],
                    help="render through the fused whole-frame Pallas kernel "
                         "(ops/pallas/megakernel3.py) instead of the XLA "
                         "bucketed pipeline")
@@ -230,7 +236,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     capacity = None
     if args.megakernel:
-        render = build_megakernel_renderer(rt, scene, dirs)
+        render = build_megakernel_renderer(rt, scene, dirs,
+                                           variant=args.megakernel)
     elif rt.compaction and not args.dynamic:
         # probe live counts once, compile one fixed-capacity frame program
         # (the TRT optimization-profile pattern; ~1.5x faster than the
