@@ -224,9 +224,18 @@ def _lane_encode(coords8, sel_ref, freq_ref, ident_ref, sin_ref, cos_ref):
     ``sin(arg + pi/2)`` (the sin/cos masks double as a lane-shift table).
     The phase add costs ~ulp(arg) ~ 3e-5 absolute at the top frequency
     band — far inside the kernels' 2e-4 agreement budget with the XLA
-    pipeline, and identical across v3/v5 (both call this helper)."""
-    arg = jnp.dot(coords8, sel_ref[:],
-                  preferred_element_type=jnp.float32) * freq_ref[:]
+    pipeline, and identical across v3/v5 (both call this helper).
+
+    The coordinate-selection matmul must not round the COORDINATES to bf16
+    (the TPU default): a 2^-9 relative position error is ~a radian of phase
+    at the 2^9 frequency band (measured ~0.9 dB PSNR loss on a trained
+    scene). Two single-pass matmuls over a hi/lo coordinate split recover
+    ~17 mantissa bits (phase error ~2^-8 rad) at a third of HIGHEST's
+    6-pass cost; SEL is 0/1 so only the coordinate operand matters."""
+    c_hi = coords8.astype(jnp.bfloat16).astype(jnp.float32)
+    arg = (jnp.dot(c_hi, sel_ref[:], preferred_element_type=jnp.float32)
+           + jnp.dot(coords8 - c_hi, sel_ref[:],
+                     preferred_element_type=jnp.float32)) * freq_ref[:]
     shifted = arg + cos_ref[:] * jnp.float32(np.pi / 2)
     return ident_ref[:] * arg \
         + (sin_ref[:] + cos_ref[:]) * jnp.sin(shifted)

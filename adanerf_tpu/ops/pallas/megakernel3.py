@@ -213,28 +213,36 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         # (exact). Directions are unit vectors feeding the low-frequency dir
         # encode (<= 2^(fd-1) ~ 8): a 2^-9 rounding is phase-negligible, so
         # they stay single-lane.
-        def split_hi_lo(v):
+        def split2(v):
+            """hi/lo bf16-exact pieces (~17 mantissa bits through the
+            single-pass bf16 gather). Positions/depths AND directions all
+            ride split lanes: cd also builds spos = co + cd*z, where a
+            2^-9 single-lane dir error would be ~radian-scale phase at the
+            top positional band; 2^-17 keeps phase error ~2^-8 rad, the
+            same class as the hi/lo encode matmul downstream."""
             hi = v.astype(jnp.bfloat16).astype(jnp.float32)
             return hi, v - hi
 
-        # hi/lo pieces ride CONTIGUOUS half-width lane groups so the whole
+        # pieces ride CONTIGUOUS half-width lane groups so the whole
         # recombination after the gather is ONE (chunk, HW) add:
-        #   hi half: [o_hi(3) | z_hi(S) | 128*cum_hi(1) | cd(3)]
-        #   lo half: [o_lo(3) | z_lo(S) |     cum_lo(1) |  0(3)]
+        #   hi half: [o_hi(3) | z_hi(S) | 128*cum_hi(1) | cd_hi(3)]
+        #   lo half: [o_lo    | z_lo    |     cum_lo    | cd_lo  ]
         # 128*cum_hi stays bf16-exact (multiples of 128 up to 16*128 share
-        # cum_hi's mantissa), so hi+lo reconstructs cum_excl directly.
-        o_his, o_los = zip(*[split_hi_lo(v) for v in (prx, pry, prz)])
-        z_his, z_los = zip(*[split_hi_lo(z) for z in z_cols])
+        # cum_hi's mantissa), so the sum reconstructs cum_excl directly.
+        o_p = [split2(v) for v in (prx, pry, prz)]
+        z_p = [split2(z) for z in z_cols]
+        d_p = [split2(v) for v in (ndx, ndy, ndz)]
         cum_hi = jnp.floor(cum_excl * (1.0 / 128.0))
         cum_lo = cum_excl - cum_hi * 128.0
         HW = 16 if (S + 7) <= 16 else 32
         V = 2 * HW
         padh = jnp.zeros((T, HW - (S + 7)), jnp.float32)
-        zero3 = jnp.zeros((T, 3), jnp.float32)
-        vals = jnp.concatenate(
-            list(o_his) + list(z_his) + [cum_hi * 128.0, ndx, ndy, ndz, padh]
-            + list(o_los) + list(z_los) + [cum_lo, zero3, padh],
-            axis=1)
+        cum_pieces = [cum_hi * 128.0, cum_lo]
+        halves = []
+        for i in range(2):
+            halves += [p[i] for p in o_p] + [p[i] for p in z_p] \
+                + [cum_pieces[i]] + [p[i] for p in d_p] + [padh]
+        vals = jnp.concatenate(halves, axis=1)
 
         use_split = precision == "default"
         pw = 8 if use_split else 4
@@ -322,8 +330,8 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 # raw rgba scatters back with the same hi/lo split (the
                 # residual rides 4 extra lanes; recombined in the composite)
                 if use_split:
-                    rg_hi, rg_lo = split_hi_lo(rgba)
-                    rgba = jnp.concatenate([rg_hi, rg_lo], axis=1)
+                    rg_hi = rgba.astype(jnp.bfloat16).astype(jnp.float32)
+                    rgba = jnp.concatenate([rg_hi, rgba - rg_hi], axis=1)
                 payload = jnp.dot(rgba, tile_pw,
                                   preferred_element_type=jnp.float32,
                                   precision=prec) \

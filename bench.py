@@ -21,6 +21,7 @@ the slope between two frame-chain lengths, each fenced by one tiny readback.
 """
 
 import json
+import os
 import sys
 import time
 from types import SimpleNamespace
@@ -118,7 +119,19 @@ def main():
     ap.add_argument("--export-dir", default=None,
                     help="measure a TRAINED exported model (viewer-export "
                          "dir) instead of the calibrated random workload")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="force the calibrated random-weights workload")
     cli = ap.parse_args()
+
+    # default workload: the in-repo trained adaptive model (S=8, thr 0.2,
+    # trained by the demo recipe in BENCH.md) so FPS and PSNR are measured
+    # on the SAME model; falls back to calibrated random weights when the
+    # export is absent or --synthetic is passed.
+    default_export = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "demo", "trained_sphere_export")
+    if cli.export_dir is None and not cli.synthetic \
+            and os.path.isdir(default_export):
+        cli.export_dir = default_export
 
     # pay the per-process transfer-path init on a trivial constant
     t0 = time.perf_counter()
