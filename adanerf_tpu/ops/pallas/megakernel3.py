@@ -109,9 +109,10 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         wrefs = wrefs[10:]
         n_ow = len(_ORACLE_KEYS)
         ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
-        nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-2])}
-        out_ref = wrefs[-2]
-        acc_ref = wrefs[-1]  # (tile, pw*S) f32 scratch: per-slot raw rgba
+        nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-3])}
+        out_ref = wrefs[-3]
+        acc_ref = wrefs[-2]  # (tile, pw*S) f32 scratch: per-slot raw rgba
+        keep_ref = wrefs[-1]  # (tile, D) f32 scratch: select fast/slow path
 
         T = tile
         dirs_pad = dirs_ref[:]
@@ -143,20 +144,55 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
             return
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
-        work = d
-        v_k = None
-        for _ in range(S):
-            v_k = jnp.max(work, axis=1, keepdims=True)
-            first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
-                            keepdims=True)
-            work = jnp.where(iota == first, jnp.float32(-jnp.inf), work)
-        above = d > v_k
-        n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
-        ties = d == v_k
-        tie_rank = _lane_cumsum(ties.astype(jnp.float32)).astype(jnp.int32)
-        keep = above | (ties & (tie_rank <= (S - n_above)))
+        # top-S cap fast path: when NO ray in the tile has more than S bins
+        # above threshold, the capped selection equals the plain thresholded
+        # keep exactly (neither the cap nor the tie budget can bind) and the
+        # S argmax rounds + tie machinery are skipped. Trained oracles keep
+        # ~1-3 bins, so this is the common case; threshold 0 (dense configs)
+        # always takes the slow path (D > S bins "above" 0 only in the sense
+        # below when thresholding is active).
         if threshold > 0.0:
-            keep = keep & (d >= threshold)
+            over = jnp.max(jnp.sum((d >= threshold).astype(jnp.int32),
+                                   axis=1))
+            needs_topk = over > S
+
+            @pl.when(needs_topk)
+            def _():
+                work = d
+                v_k = None
+                for _ in range(S):
+                    v_k = jnp.max(work, axis=1, keepdims=True)
+                    first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
+                                    keepdims=True)
+                    work = jnp.where(iota == first, jnp.float32(-jnp.inf),
+                                     work)
+                above = d > v_k
+                n_above = jnp.sum(above.astype(jnp.int32), axis=1,
+                                  keepdims=True)
+                ties = d == v_k
+                tie_rank = _lane_cumsum(
+                    ties.astype(jnp.float32)).astype(jnp.int32)
+                kb = above | (ties & (tie_rank <= (S - n_above)))
+                keep_ref[:, :] = (kb & (d >= threshold)).astype(jnp.float32)
+
+            @pl.when(jnp.logical_not(needs_topk))
+            def _():
+                keep_ref[:, :] = (d >= threshold).astype(jnp.float32)
+
+            keep = keep_ref[:, :] > 0.0
+        else:
+            work = d
+            v_k = None
+            for _ in range(S):
+                v_k = jnp.max(work, axis=1, keepdims=True)
+                first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
+                                keepdims=True)
+                work = jnp.where(iota == first, jnp.float32(-jnp.inf), work)
+            above = d > v_k
+            n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
+            ties = d == v_k
+            tie_rank = _lane_cumsum(ties.astype(jnp.float32)).astype(jnp.int32)
+            keep = above | (ties & (tie_rank <= (S - n_above)))
         any_keep = jnp.any(keep, axis=1, keepdims=True)
         dmax = jnp.max(d, axis=1, keepdims=True)
         am = jnp.min(jnp.where(d == dmax, iota, D), axis=1, keepdims=True)
@@ -415,7 +451,8 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((tile, pw_build * S), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((tile, pw_build * S), jnp.float32),
+                                pltpu.VMEM((tile, D), jnp.float32)],
                 interpret=interpret,
             )(jnp.asarray(dirs_pad), pose8, rot_pad, jnp.asarray(tril),
               jnp.asarray(eye), jnp.asarray(tile_pw_c),
