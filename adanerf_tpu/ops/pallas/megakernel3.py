@@ -385,24 +385,47 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
         # ---- composite: v3's exact S-step recurrence, rgba lane-packed
         # (each slot's r,g,b,a ride one (T,4) slice; one sigmoid per slot
-        # instead of four single-lane ones — identical values/order) ----
-        trans = jnp.ones((T, 1), jnp.float32)
-        acc_rgb = jnp.zeros((T, 3), jnp.float32)
-        for s in range(S):
-            live = (c > jnp.float32(s)).astype(jnp.float32)
-            rgba_s = acc_ref[:, pw * s:pw * s + 4]
-            if use_split:
-                rgba_s = rgba_s + acc_ref[:, pw * s + 4:pw * s + 8]
-            sig = jax.nn.sigmoid(rgba_s)                          # (T, 4)
-            sig_a = sig[:, 3:4] * live
-            if acc_alpha:
-                sig_a = sig_a * p_cols[s]
-            w_s = sig_a * trans
-            trans = trans * (1.0 - sig_a + 1e-10)
-            acc_rgb = acc_rgb + w_s * sig[:, 0:3]
-
+        # instead of four single-lane ones — identical values/order).
+        # Recurrence length is gated at tile level: slots beyond the tile's
+        # max live count contribute exactly nothing (live=0 -> sig_a=0,
+        # w_s=0, trans *= 1+1e-10... note trans only DRIFTS by the 1e-10
+        # epsilon on dead slots, which never multiplies into any emitted
+        # weight), so running only ceil-to-{2,4,S} slots is exact. ----
         pad = jnp.zeros((T, LANE - 4), jnp.float32)
-        out_ref[:] = jnp.concatenate([acc_rgb, c, pad], axis=1)
+
+        def composite(n_slots):
+            trans = jnp.ones((T, 1), jnp.float32)
+            acc_rgb = jnp.zeros((T, 3), jnp.float32)
+            for s in range(n_slots):
+                live = (c > jnp.float32(s)).astype(jnp.float32)
+                rgba_s = acc_ref[:, pw * s:pw * s + 4]
+                if use_split:
+                    rgba_s = rgba_s + acc_ref[:, pw * s + 4:pw * s + 8]
+                sig = jax.nn.sigmoid(rgba_s)                      # (T, 4)
+                sig_a = sig[:, 3:4] * live
+                if acc_alpha:
+                    sig_a = sig_a * p_cols[s]
+                w_s = sig_a * trans
+                trans = trans * (1.0 - sig_a + 1e-10)
+                acc_rgb = acc_rgb + w_s * sig[:, 0:3]
+            out_ref[:] = jnp.concatenate([acc_rgb, c, pad], axis=1)
+
+        if S > 4:
+            max_c = jnp.max(c)
+
+            @pl.when(max_c <= 2.0)
+            def _():
+                composite(2)
+
+            @pl.when(jnp.logical_and(max_c > 2.0, max_c <= 4.0))
+            def _():
+                composite(4)
+
+            @pl.when(max_c > 4.0)
+            def _():
+                composite(S)
+        else:
+            composite(S)
 
     _ORACLE_KEYS = None
     _NERF_KEYS = None
