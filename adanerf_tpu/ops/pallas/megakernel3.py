@@ -112,7 +112,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-3])}
         out_ref = wrefs[-3]
         acc_ref = wrefs[-2]  # (tile, pw*S) f32 scratch: per-slot raw rgba
-        keep_ref = wrefs[-1]  # (tile, D) f32 scratch: select fast/slow path
+        keep_ref = wrefs[-1]  # (tile, max(D, 2S)) f32: select + z/p carry
 
         T = tile
         dirs_pad = dirs_ref[:]
@@ -173,13 +173,13 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 tie_rank = _lane_cumsum(
                     ties.astype(jnp.float32)).astype(jnp.int32)
                 kb = above | (ties & (tie_rank <= (S - n_above)))
-                keep_ref[:, :] = (kb & (d >= threshold)).astype(jnp.float32)
+                keep_ref[:, :D] = (kb & (d >= threshold)).astype(jnp.float32)
 
             @pl.when(jnp.logical_not(needs_topk))
             def _():
-                keep_ref[:, :] = (d >= threshold).astype(jnp.float32)
+                keep_ref[:, :D] = (d >= threshold).astype(jnp.float32)
 
-            keep = keep_ref[:, :] > 0.0
+            keep = keep_ref[:, :D] > 0.0
         else:
             work = d
             v_k = None
@@ -210,16 +210,47 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         # rank[t,d] = s+1 exactly at the (s+1)-th kept bin, 0 elsewhere
         # (rowcum holds s+1 on a run starting there, keep picks the head),
         # so each slot's one-hot is ONE wide compare; slot liveness is the
-        # narrow count compare n_per > s (no per-slot reduction needed)
+        # narrow count compare n_per > s (no per-slot reduction needed).
+        # Like the composite, the per-slot build is tile-gated: slots beyond
+        # the tile's max live count pack exact zeros, so only ceil-to-{2,4,S}
+        # slots are built; keep_ref (dead after the select) carries z/p
+        # across the gates in lanes [0,S) / [S,2S).
         rank = rowcum.astype(jnp.float32) * keep_f
         n_per_col = n_per.astype(jnp.float32)[:, None]
-        z_cols, p_cols = [], []
-        for s in range(S):
-            sel = (rank == (s + 1)).astype(jnp.float32)
-            bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
-            live = (n_per_col > s).astype(jnp.float32)
-            z_cols.append(transform.to_world((bin_s + 0.5) * cell, dr) * live)
-            p_cols.append(jnp.sum(d * sel, axis=1, keepdims=True))
+        max_n = jnp.max(n_per_col)
+
+        def build_zp(n_slots):
+            cols = []
+            for s in range(n_slots):
+                sel = (rank == (s + 1)).astype(jnp.float32)
+                bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
+                live = (n_per_col > s).astype(jnp.float32)
+                cols.append(transform.to_world((bin_s + 0.5) * cell, dr)
+                            * live)
+            for s in range(n_slots):
+                sel = (rank == (s + 1)).astype(jnp.float32)
+                cols.append(jnp.sum(d * sel, axis=1, keepdims=True))
+            pads = [] if n_slots == S else \
+                [jnp.zeros((T, S - n_slots), jnp.float32)]
+            keep_ref[:, :2 * S] = jnp.concatenate(
+                cols[:n_slots] + pads + cols[n_slots:] + pads, axis=1)
+
+        if S > 4:
+            @pl.when(max_n <= 2.0)
+            def _():
+                build_zp(2)
+
+            @pl.when(jnp.logical_and(max_n > 2.0, max_n <= 4.0))
+            def _():
+                build_zp(4)
+
+            @pl.when(max_n > 4.0)
+            def _():
+                build_zp(S)
+        else:
+            build_zp(S)
+        z_cols = [keep_ref[:, s:s + 1] for s in range(S)]
+        p_cols = [keep_ref[:, S + s:S + s + 1] for s in range(S)]
 
         if stop_after == "zcols":  # profiling hook: + per-slot z/prob packing
             out_ref[:] = jnp.concatenate(
@@ -475,7 +506,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
                 scratch_shapes=[pltpu.VMEM((tile, pw_build * S), jnp.float32),
-                                pltpu.VMEM((tile, D), jnp.float32)],
+                                pltpu.VMEM((tile, max(D, 2 * S)), jnp.float32)],
                 interpret=interpret,
             )(jnp.asarray(dirs_pad), pose8, rot_pad, jnp.asarray(tril),
               jnp.asarray(eye), jnp.asarray(tile_pw_c),
