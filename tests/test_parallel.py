@@ -125,3 +125,46 @@ def test_graft_entry():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_inference_matches_single(scene_dir, tmp_path):
+    """Multi-chip INFERENCE: the cascade's forward pass (test.py semantics)
+    is rays-data-parallel — sharding every ray-indexed batch array over the
+    8-device mesh must reproduce the single-device outputs exactly (no
+    cross-ray coupling anywhere in the pipeline)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from adanerf_tpu.parallel.mesh import AXIS, make_mesh
+    from adanerf_tpu.pipeline.cascade import run_cascade
+    from adanerf_tpu.pipeline.keys import DatasetKeys
+
+    args = dense_config_args(scene_dir, str(tmp_path / "logs"),
+                             threshold=0.2)
+    config = Config.init(argv=args)
+    ts = TrainState()
+    ts.initialize(config)
+    batch, _ = ts.assemble_train_batch(ts.train_dataset, np.array([0, 1]))
+
+    def infer(params, batch):
+        outs, _ = run_cascade(ts.model_defs, params, ts.f_in, batch,
+                              is_inference=True, key=None)
+        return outs[-1]
+
+    ref = np.asarray(jax.jit(infer)(ts.params, batch))
+
+    mesh = make_mesh()
+    repl = NamedSharding(mesh, P())
+    ray3 = NamedSharding(mesh, P(None, AXIS, None))
+    batch_sharding = {
+        DatasetKeys.image_pose: repl,
+        DatasetKeys.image_rotation: repl,
+        DatasetKeys.ray_directions_samples: ray3,
+    }
+    for k in batch:
+        if k not in batch_sharding:
+            batch_sharding[k] = repl
+    jitted = jax.jit(infer, in_shardings=(repl, batch_sharding))
+    placed = {k: jax.device_put(v, batch_sharding[k])
+              for k, v in batch.items()}
+    out = np.asarray(jitted(jax.device_put(ts.params, repl), placed))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
