@@ -86,3 +86,39 @@ def test_reference_sample_models_parse():
     for v in list(w0.values()) + list(w1.values()):
         assert np.isfinite(v).all()
     assert abs(float(w1["rgb_linear.weight"].std())) > 1e-3
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SAMPLE),
+                    reason="reference checkout not present")
+def test_convert_reference_sample_loads_in_viewer(tmp_path):
+    """tools/convert_reference_onnx.py output must load through the viewer's
+    export reader (defs inferred from weights) and run the oracle forward."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "conv")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "tools",
+                                      "convert_reference_onnx.py"),
+         REF_SAMPLE, out],
+        capture_output=True, text=True, env={**os.environ,
+                                             "ADANERF_PLATFORM": "cpu"})
+    assert r.returncode == 0, r.stderr[-1500:]
+
+    sys.path.insert(0, root)
+    import jax.numpy as jnp
+
+    from viewer import build_renderer_from_export
+
+    rt, scene = build_renderer_from_export(out, batch_size=64,
+                                           dtype_str="fp32")
+    assert rt.max_samples == 4 and abs(rt.threshold - 0.15) < 1e-6
+    assert rt.oracle_def.n_out == 128 and rt.nerf_def.skips == (4,)
+    d = np.random.default_rng(0).normal(size=(64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    packed, mask, n_act = rt._oracle_fn(
+        rt.params[0], jnp.asarray(scene.view_cell_center, jnp.float32),
+        jnp.eye(3), jnp.asarray(d))
+    assert np.isfinite(np.asarray(packed)).all()
+    assert 0 < int(n_act) <= 64 * 4
