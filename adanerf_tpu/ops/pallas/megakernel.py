@@ -289,23 +289,26 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
         # world dirs: (T,128)[:, :3] via padded matmul with rot^T
         nds_pad = jnp.dot(dirs_pad, rot_ref[:],
                           preferred_element_type=jnp.float32)  # (T,128)
-        ndx = nds_pad[:, 0:1]
-        ndy = nds_pad[:, 1:2]
-        ndz = nds_pad[:, 2:3]
+        nds3 = nds_pad[:, 0:3]
+        ndx = nds3[:, 0:1]
+        ndy = nds3[:, 1:2]
+        ndz = nds3[:, 2:3]
 
-        px = pose[:, 0:1]
-        py = pose[:, 1:2]
-        pz = pose[:, 2:3]
-        ox = jnp.broadcast_to(px, (T, 1))
-        oy = jnp.broadcast_to(py, (T, 1))
-        oz = jnp.broadcast_to(pz, (T, 1))
+        o3 = jnp.broadcast_to(pose[:, 0:3], (T, 3))
+        ox = o3[:, 0:1]
+        oy = o3[:, 1:2]
+        oz = o3[:, 2:3]
 
-        # ray-sphere exit distance (features.py:768-791)
-        omcx = ox - center[0]
-        omcy = oy - center[1]
-        omcz = oz - center[2]
-        u_dot = ndx * omcx + ndy * omcy + ndz * omcz
-        delta = u_dot * u_dot - (omcx ** 2 + omcy ** 2 + omcz ** 2
+        # ray-sphere exit distance (features.py:768-791), lane-packed with
+        # the same reduce order as ops.raymarch.ray_sphere_offset
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+        center3 = jnp.where(
+            lane3 == 0, jnp.float32(center[0]),
+            jnp.where(lane3 == 1, jnp.float32(center[1]),
+                      jnp.float32(center[2])))
+        omc3 = o3 - center3
+        u_dot = jnp.sum(nds3 * omc3, axis=1, keepdims=True)
+        delta = u_dot * u_dot - (jnp.sum(omc3 * omc3, axis=1, keepdims=True)
                                  - radius * radius)
         dist = -u_dot + jnp.sqrt(jnp.maximum(delta, 0.0))
         prx = ox + ndx * dist

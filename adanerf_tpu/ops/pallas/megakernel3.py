@@ -119,22 +119,26 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         pose = pose_ref[:]
 
         # ---- front half: identical to megakernel.py v3 ----
+        # ray setup runs on (T, 3) lane-packed rows (same reduce order as
+        # ops.raymarch.ray_sphere_offset -> bit-identical to the XLA path)
         nds_pad = jnp.dot(dirs_pad, rot_ref[:],
                           preferred_element_type=jnp.float32)
-        ndx, ndy, ndz = nds_pad[:, 0:1], nds_pad[:, 1:2], nds_pad[:, 2:3]
-        ox = jnp.broadcast_to(pose[:, 0:1], (T, 1))
-        oy = jnp.broadcast_to(pose[:, 1:2], (T, 1))
-        oz = jnp.broadcast_to(pose[:, 2:3], (T, 1))
-        omcx, omcy, omcz = ox - center[0], oy - center[1], oz - center[2]
-        u_dot = ndx * omcx + ndy * omcy + ndz * omcz
-        delta = u_dot * u_dot - (omcx ** 2 + omcy ** 2 + omcz ** 2
+        nds3 = nds_pad[:, 0:3]
+        o3 = jnp.broadcast_to(pose[:, 0:3], (T, 3))
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+        center3 = jnp.where(
+            lane3 == 0, jnp.float32(center[0]),
+            jnp.where(lane3 == 1, jnp.float32(center[1]),
+                      jnp.float32(center[2])))
+        omc3 = o3 - center3
+        u_dot = jnp.sum(nds3 * omc3, axis=1, keepdims=True)
+        delta = u_dot * u_dot - (jnp.sum(omc3 * omc3, axis=1, keepdims=True)
                                  - radius * radius)
         dist = -u_dot + jnp.sqrt(jnp.maximum(delta, 0.0))
-        prx, pry, prz = ox + ndx * dist, oy + ndy * dist, oz + ndz * dist
+        proj3 = o3 + nds3 * dist
 
         zero2 = jnp.zeros((T, 2), jnp.float32)
-        coords_o = jnp.concatenate([ndx, ndy, ndz, prx, pry, prz, zero2],
-                                   axis=1)
+        coords_o = jnp.concatenate([nds3, proj3, zero2], axis=1)
         x0 = _lane_encode(coords_o, *ot)
         d = _oracle_mlp(ow, x0.astype(ow["w0"].dtype), oracle_def.depth)[:, :D]
 
@@ -296,20 +300,17 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         #   lo half: [o_lo    | z_lo    |     cum_lo    | cd_lo  ]
         # 128*cum_hi stays bf16-exact (multiples of 128 up to 16*128 share
         # cum_hi's mantissa), so the sum reconstructs cum_excl directly.
-        o_p = [split2(v) for v in (prx, pry, prz)]
+        o_hi, o_lo = split2(proj3)
         z_p = [split2(z) for z in z_cols]
-        d_p = [split2(v) for v in (ndx, ndy, ndz)]
+        d_hi, d_lo = split2(nds3)
         cum_hi = jnp.floor(cum_excl * (1.0 / 128.0))
         cum_lo = cum_excl - cum_hi * 128.0
         HW = 16 if (S + 7) <= 16 else 32
         V = 2 * HW
         padh = jnp.zeros((T, HW - (S + 7)), jnp.float32)
-        cum_pieces = [cum_hi * 128.0, cum_lo]
-        halves = []
-        for i in range(2):
-            halves += [p[i] for p in o_p] + [p[i] for p in z_p] \
-                + [cum_pieces[i]] + [p[i] for p in d_p] + [padh]
-        vals = jnp.concatenate(halves, axis=1)
+        vals = jnp.concatenate(
+            [o_hi] + [p[0] for p in z_p] + [cum_hi * 128.0, d_hi, padh,
+             o_lo] + [p[1] for p in z_p] + [cum_lo, d_lo, padh], axis=1)
 
         use_split = precision == "default"
         pw = 8 if use_split else 4
