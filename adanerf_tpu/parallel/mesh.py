@@ -126,13 +126,38 @@ def batch_shardings(mesh: Mesh, batch: Dict, targets: Dict):
     return b_shard, t_shard
 
 
+def _process_local_put(v, sharding: NamedSharding):
+    """Build a global array for `sharding` from this process's slice of the
+    host batch `v` (every host assembles the same global batch from the
+    shared seed, then feeds only its addressable block — contiguous in
+    process order, matching jax.devices() ordering)."""
+    if isinstance(v, jax.Array) and getattr(v, "sharding", None) == sharding:
+        return v
+    v = np.asarray(v)
+    if jax.process_count() == 1:
+        return jax.device_put(v, sharding)
+    idx = [slice(None)] * v.ndim
+    spec = sharding.spec
+    for ax in range(min(v.ndim, len(spec))):
+        if spec[ax] == AXIS:
+            n_proc = jax.process_count()
+            assert v.shape[ax] % n_proc == 0, (v.shape, ax, n_proc)
+            per = v.shape[ax] // n_proc
+            i = jax.process_index()
+            idx[ax] = slice(i * per, (i + 1) * per)
+    return jax.make_array_from_process_local_data(sharding, v[tuple(idx)],
+                                                  global_shape=v.shape)
+
+
 def shard_train_step(ts, mesh: Mesh):
     """Return (jitted_fn, placer): the TrainState's train-step body jitted
     with explicit shardings over the mesh (params/opt replicated, batch
-    sharded on rays), plus a helper that device_puts a host batch with the
+    sharded on rays), plus a helper that places a host batch with the
     right shardings. The global-view jit turns per-shard loss means into
     psum-based global means and gradient psums automatically — no
-    hand-written collectives (they ride ICI on real hardware)."""
+    hand-written collectives (they ride ICI on real hardware). Works
+    unchanged under multi-host (init_multi_host first): each process feeds
+    only its addressable ray block via make_array_from_process_local_data."""
     ts.make_train_step()
     raw = ts._train_step_raw
     repl = NamedSharding(mesh, P())
@@ -140,11 +165,11 @@ def shard_train_step(ts, mesh: Mesh):
 
     def place(params, opt_states, batch, targets):
         b_shard, t_shard = batch_shardings(mesh, batch, targets)
-        return (jax.device_put(params, repl),
-                jax.device_put(opt_states, repl),
-                {k: jax.device_put(np.asarray(v), b_shard[k])
+        return (jax.tree.map(lambda x: _process_local_put(x, repl), params),
+                jax.tree.map(lambda x: _process_local_put(x, repl), opt_states),
+                {k: _process_local_put(v, b_shard[k])
                  for k, v in batch.items()},
-                {k: jax.device_put(np.asarray(v), t_shard[k])
+                {k: _process_local_put(v, t_shard[k])
                  for k, v in targets.items()})
 
     return jitted, place

@@ -91,30 +91,6 @@ def test_multi_host_single_process_fallback():
     assert local_batch_slice(mesh, 4096) == slice(0, 4096)
 
 
-def test_multi_host_explicit_initialize(monkeypatch):
-    """With a coordinator configured, init_multi_host must hand the exact
-    settings to jax.distributed.initialize (stubbed: a real 2-process
-    rendezvous needs 2 processes)."""
-    import adanerf_tpu.parallel.mesh as M
-
-    calls = {}
-
-    def fake_init(coordinator_address=None, num_processes=None,
-                  process_id=None):
-        calls.update(coordinator_address=coordinator_address,
-                     num_processes=num_processes, process_id=process_id)
-
-    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
-    monkeypatch.setattr(M, "_distributed_initialized", False)
-    monkeypatch.setenv("ADANERF_COORD", "10.0.0.1:8476")
-    monkeypatch.setenv("ADANERF_NPROC", "2")
-    monkeypatch.setenv("ADANERF_PROC_ID", "0")
-    M.init_multi_host()
-    assert calls == {"coordinator_address": "10.0.0.1:8476",
-                     "num_processes": 2, "process_id": 0}
-    monkeypatch.setattr(M, "_distributed_initialized", False)
-
-
 def test_graft_entry():
     import __graft_entry__ as ge
     fn, ex_args = ge.entry()

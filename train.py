@@ -166,9 +166,10 @@ def train(ts: TrainState):
     place = None
     if c.meshDevices != 1 and len(jax.devices()) > 1:
         from adanerf_tpu.parallel.mesh import make_mesh, shard_train_step
-        mesh = make_mesh(c.meshDevices)
+        mesh = make_mesh(c.meshDevices, multi_host=True)
         step, place = shard_train_step(ts, mesh)
-        print(f"data-parallel over {mesh.devices.size} devices (rays axis)")
+        print(f"data-parallel over {mesh.devices.size} devices (rays axis), "
+              f"{jax.process_count()} host process(es)")
     else:
         step = ts.make_train_step()
     n_images = len(ts.train_dataset)
@@ -258,12 +259,16 @@ from adanerf_tpu.platform import apply_platform_env
 
 def main():
     apply_platform_env()
+    # join a multi-host cluster BEFORE any jax backend use (env-gated no-op
+    # on single-process runs; recipe in adanerf_tpu/parallel/mesh.py:44-49)
+    from adanerf_tpu.parallel.mesh import init_multi_host
+    proc = init_multi_host()
     config = Config.init()
     ts = TrainState()
     ts.initialize(config)
 
     print(f"Training config: {ts.logDir.rstrip('/').split('/')[-1]} "
-          f"({config.config})")
+          f"({config.config}) [process {proc}/{jax.process_count()}]")
     ts.load_latest_weights()
     pre_train(ts)
     train(ts)
