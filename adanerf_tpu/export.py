@@ -52,6 +52,15 @@ def export_artifacts(ts, out_dir=None, aot=True, batch_size=80_000):
     for i, d in enumerate(ts.model_defs):
         save_tree(os.path.join(out_dir, f"model{i}.weights"), ts.params[i])
 
+    # model{i}.onnx for the reference's TensorRT viewer (two-way artifact
+    # interop; reference: src/export.py:82-85). Same graph layout as the
+    # shipped viewer samples, weights under the torch state-dict names.
+    from .utils.onnx_export import write_model_onnx
+    for i, d in enumerate(ts.model_defs):
+        params_host = jax.tree.map(np.asarray, ts.params[i])
+        write_model_onnx(os.path.join(out_dir, f"model{i}.onnx"),
+                         d, params_host)
+
     # echoed config for the harness (the viewer parses the same file)
     cfg_src = os.path.join(ts.logDir, "config.ini")
     if os.path.exists(cfg_src):
