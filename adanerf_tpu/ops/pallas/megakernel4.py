@@ -1,0 +1,471 @@
+"""Supertile megakernel (v6): v5's in-tile compaction restructured around
+three measured bottlenecks (BENCH.md round-2 stage ledger):
+
+1. **Supertile front half.** v5's 256-ray tiles run the oracle MLP at ~34%
+   MXU (deep chains of small matmuls are latency-bound) and issue the
+   select/setup VPU ops 2500 times/frame. v6 processes ``tile`` = 1024 rays
+   per grid step: 4x fewer op issues, 4x larger MXU batches, identical math.
+
+2. **Windowed compaction.** The one-hot gather's compare cost scales with
+   (chunk x tile), which is why v5 could not grow its tiles. Every ray
+   keeps >= 1 sample, so chunk k's samples always come from <= chunk+1
+   CONSECUTIVE rays starting at r_k = #(cum_incl <= k*chunk); the masks are
+   built against a ``pl.ds``-sliced window of W=chunk+128 rays, making the
+   per-chunk cost independent of the supertile size. The scatter reuses the
+   SAME mask through a contract-dim-0 ``dot_general`` (v5 built a second,
+   transposed mask).
+
+3. **Dynamic-trip chunk loop.** v5 unrolled S*tile/chunk ``@pl.when``-gated
+   regions; Mosaic scheduling across the gates was a measured residual cost
+   and code size grew with the unroll. v6 runs ONE ``fori_loop`` body with
+   the trip count ceil(sum(count)/chunk) — work is exactly proportional to
+   live samples, with no gates.
+
+Everything else — lane-packed encodes, hi/lo split precision scheme, the
+sort-free select, per-slot z/p packing, the S-step composite — is shared
+with or identical to v5 (megakernel3.py); outputs match v5 exactly in fp32
+(tests/test_megakernel4.py).
+
+TPU counterpart of adaptive_cuda_kernels.cu:301-450 +
+imagegenerator.cpp:336-344, as in v5.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .megakernel import (_lane_cumsum, _lane_encode, _nerf_mlp, _oracle_mlp,
+                         lane_encode_tables)
+
+LANE = 128
+_PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
+               "highest": jax.lax.Precision.HIGHEST}
+
+
+def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
+                              tile: int = 1024, chunk: int = 256,
+                              window: int = None, block: int = 256,
+                              interpret: bool = False,
+                              precision: str = "default",
+                              dyn_loop: bool = True,
+                              stop_after: str = ""):
+    """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
+    -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
+    megakernel3.make_megakernel_compact."""
+    S = config.numRaymarchSamples[1]
+    threshold = float(config.adaptiveSamplingThreshold)
+    D = oracle_def.n_out
+    cell = 1.0 / D
+    fp0, fd0 = [int(x) for x in config.posEncArgs[0].split('-')]
+    fp1, fd1 = [int(x) for x in config.posEncArgs[1].split('-')]
+    center = np.asarray(scene.view_cell_center, np.float32)
+    radius = float(scene.view_cell_radius)
+    sqrt_max_depth = math.sqrt(float(scene.depth_max))
+    dr = scene.depth_range_warped
+    transform = scene.depth_transform
+    acc_alpha = (config.accumulationMult == "alpha")
+
+    block = min(block, tile)
+    assert tile % block == 0, (tile, block)
+    # window must cover the <= chunk+1 rays a chunk can span, 8-aligned start
+    W = window or (chunk + LANE)
+    assert W >= chunk + 16 and W % 8 == 0, (W, chunk)
+    n_chunks_max = (S * tile + chunk - 1) // chunk
+    assert n_chunks_max <= LANE, n_chunks_max
+    assert 8 * S <= LANE
+
+    prec = _PRECISIONS[precision]
+    use_split = precision == "default"
+    pw = 8 if use_split else 4
+    o_tables = lane_encode_tables([([0, 1, 2], fd0), ([3, 4, 5], fp0)])
+    n_tables = lane_encode_tables([([0, 1, 2], fp1), ([3, 4, 5], fd1)])
+    tril_b = np.tril(np.ones((block, block), np.float32), k=-1)
+    eye_w = np.eye(W, dtype=np.float32)
+    tile_pw_c = np.tile(np.eye(pw, dtype=np.float32), (1, S))
+    expand_s_c = np.kron(np.eye(S, dtype=np.float32),
+                         np.ones((1, pw), np.float32))
+
+    HW = 16 if (S + 7) <= 16 else 32
+    V = 2 * HW
+
+    def kernel(dirs_ref, pose_ref, rot_ref, tril_ref, eye_ref,
+               tile_pw_ref, expand_s_ref, *wrefs):
+        ot = wrefs[0:5]
+        nt = wrefs[5:10]
+        wrefs = wrefs[10:]
+        n_ow = len(_ORACLE_KEYS)
+        ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
+        nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-5])}
+        out_ref = wrefs[-5]
+        acc_ref = wrefs[-4]   # (tile+W, pw*S) f32: per-slot raw rgba
+        keep_ref = wrefs[-3]  # (tile, max(D, 2S)) f32: select + z/p carry
+        vals_ref = wrefs[-2]  # (tile+W, V) f32: hi/lo packed gather payload
+        cum_ref = wrefs[-1]   # (tile+W, 8) f32: [cum_excl, cum_incl, ...]
+
+        T = tile
+        dirs_pad = dirs_ref[:]
+        pose = pose_ref[:]
+
+        # ---- front half (identical math to v5, at supertile batch) ----
+        nds_pad = jnp.dot(dirs_pad, rot_ref[:],
+                          preferred_element_type=jnp.float32)
+        nds3 = nds_pad[:, 0:3]
+        o3 = jnp.broadcast_to(pose[:, 0:3], (T, 3))
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+        center3 = jnp.where(
+            lane3 == 0, jnp.float32(center[0]),
+            jnp.where(lane3 == 1, jnp.float32(center[1]),
+                      jnp.float32(center[2])))
+        omc3 = o3 - center3
+        u_dot = jnp.sum(nds3 * omc3, axis=1, keepdims=True)
+        delta = u_dot * u_dot - (jnp.sum(omc3 * omc3, axis=1, keepdims=True)
+                                 - radius * radius)
+        dist = -u_dot + jnp.sqrt(jnp.maximum(delta, 0.0))
+        proj3 = o3 + nds3 * dist
+
+        zero2 = jnp.zeros((T, 2), jnp.float32)
+        coords_o = jnp.concatenate([nds3, proj3, zero2], axis=1)
+        x0 = _lane_encode(coords_o, *ot)
+        d = _oracle_mlp(ow, x0.astype(ow["w0"].dtype), oracle_def.depth)[:, :D]
+
+        if stop_after == "oracle":
+            out_ref[:] = d[:, :LANE] if D >= LANE else jnp.concatenate(
+                [d, jnp.zeros((T, LANE - D), jnp.float32)], axis=1)
+            return
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
+        if threshold > 0.0:
+            over = jnp.max(jnp.sum((d >= threshold).astype(jnp.int32),
+                                   axis=1))
+            needs_topk = over > S
+
+            @pl.when(needs_topk)
+            def _():
+                work = d
+                v_k = None
+                for _ in range(S):
+                    v_k = jnp.max(work, axis=1, keepdims=True)
+                    first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
+                                    keepdims=True)
+                    work = jnp.where(iota == first, jnp.float32(-jnp.inf),
+                                     work)
+                above = d > v_k
+                n_above = jnp.sum(above.astype(jnp.int32), axis=1,
+                                  keepdims=True)
+                ties = d == v_k
+                tie_rank = _lane_cumsum(
+                    ties.astype(jnp.float32)).astype(jnp.int32)
+                kb = above | (ties & (tie_rank <= (S - n_above)))
+                keep_ref[:, :D] = (kb & (d >= threshold)).astype(jnp.float32)
+
+            @pl.when(jnp.logical_not(needs_topk))
+            def _():
+                keep_ref[:, :D] = (d >= threshold).astype(jnp.float32)
+
+            keep = keep_ref[:, :D] > 0.0
+        else:
+            work = d
+            v_k = None
+            for _ in range(S):
+                v_k = jnp.max(work, axis=1, keepdims=True)
+                first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
+                                keepdims=True)
+                work = jnp.where(iota == first, jnp.float32(-jnp.inf), work)
+            above = d > v_k
+            n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
+            ties = d == v_k
+            tie_rank = _lane_cumsum(ties.astype(jnp.float32)).astype(jnp.int32)
+            keep = above | (ties & (tie_rank <= (S - n_above)))
+        any_keep = jnp.any(keep, axis=1, keepdims=True)
+        dmax = jnp.max(d, axis=1, keepdims=True)
+        am = jnp.min(jnp.where(d == dmax, iota, D), axis=1, keepdims=True)
+        keep = keep | (jnp.logical_not(any_keep) & (iota == am))
+        rowcum = _lane_cumsum(keep.astype(jnp.float32)).astype(jnp.int32)
+        n_per = jnp.sum(keep.astype(jnp.int32), axis=1)
+
+        if stop_after == "select":
+            out_ref[:] = jnp.broadcast_to(
+                n_per.astype(jnp.float32)[:, None], (T, LANE))
+            return
+
+        keep_f = keep.astype(jnp.float32)
+        iota_f = iota.astype(jnp.float32)
+        rank = rowcum.astype(jnp.float32) * keep_f
+        n_per_col = n_per.astype(jnp.float32)[:, None]
+        max_n = jnp.max(n_per_col)
+
+        def build_zp(n_slots):
+            cols = []
+            for s in range(n_slots):
+                sel = (rank == (s + 1)).astype(jnp.float32)
+                bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
+                live = (n_per_col > s).astype(jnp.float32)
+                cols.append(transform.to_world((bin_s + 0.5) * cell, dr)
+                            * live)
+            for s in range(n_slots):
+                sel = (rank == (s + 1)).astype(jnp.float32)
+                cols.append(jnp.sum(d * sel, axis=1, keepdims=True))
+            pads = [] if n_slots == S else \
+                [jnp.zeros((T, S - n_slots), jnp.float32)]
+            keep_ref[:, :2 * S] = jnp.concatenate(
+                cols[:n_slots] + pads + cols[n_slots:] + pads, axis=1)
+
+        if S > 4:
+            @pl.when(max_n <= 2.0)
+            def _():
+                build_zp(2)
+
+            @pl.when(jnp.logical_and(max_n > 2.0, max_n <= 4.0))
+            def _():
+                build_zp(4)
+
+            @pl.when(max_n > 4.0)
+            def _():
+                build_zp(S)
+        else:
+            build_zp(S)
+        z_cols = [keep_ref[:, s:s + 1] for s in range(S)]
+        p_cols = [keep_ref[:, S + s:S + s + 1] for s in range(S)]
+
+        if stop_after == "zcols":
+            out_ref[:] = jnp.concatenate(
+                z_cols + p_cols
+                + [jnp.zeros((T, LANE - 2 * S), jnp.float32)], axis=1)
+            return
+
+        # ---- compaction bookkeeping (supertile) ----
+        c = n_per.astype(jnp.float32)[:, None]                   # (T, 1)
+        # cum over T rays: block-local tril matmuls + scalar block offsets
+        # (all-f32, exact; avoids a (T, T) constant)
+        cum_blocks = []
+        offset = jnp.float32(0.0)
+        for b in range(T // block):
+            cb = c[b * block:(b + 1) * block]
+            cum_blocks.append(
+                jnp.dot(tril_ref[:], cb, preferred_element_type=jnp.float32)
+                + offset)
+            offset = offset + jnp.sum(cb)
+        cum_excl = jnp.concatenate(cum_blocks, axis=0)           # (T, 1)
+        cum_incl = cum_excl + c
+        total = offset                                            # scalar
+
+        # hi/lo packed per-ray gather payload (identical layout to v5)
+        def split2(v):
+            hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+            return hi, v - hi
+
+        o_hi, o_lo = split2(proj3)
+        z_p = [split2(z) for z in z_cols]
+        d_hi, d_lo = split2(nds3)
+        cum_hi = jnp.floor(cum_excl * (1.0 / 128.0))
+        cum_lo = cum_excl - cum_hi * 128.0
+        padh = jnp.zeros((T, HW - (S + 7)), jnp.float32)
+        vals_ref[0:T, :] = jnp.concatenate(
+            [o_hi] + [p[0] for p in z_p] + [cum_hi * 128.0, d_hi, padh,
+             o_lo] + [p[1] for p in z_p] + [cum_lo, d_lo, padh], axis=1)
+        vals_ref[T:T + W, :] = jnp.zeros((W, V), jnp.float32)
+        pad6 = jnp.zeros((T, 6), jnp.float32)
+        cum_ref[0:T, :] = jnp.concatenate([cum_excl, cum_incl, pad6], axis=1)
+        cum_ref[T:T + W, :] = jnp.zeros((W, 8), jnp.float32)
+        acc_ref[:, :] = jnp.zeros((T + W, pw * S), jnp.float32)
+
+        # per-chunk window starts, 8-aligned, all at once: r_k = #{incl<=kC}
+        kgrid = jax.lax.broadcasted_iota(
+            jnp.int32, (1, n_chunks_max), 1).astype(jnp.float32) * chunk
+        r_all = jnp.sum((cum_incl <= kgrid).astype(jnp.float32), axis=0,
+                        keepdims=True)                           # (1, NC)
+        r8_all = jnp.floor(r_all * 0.125) * 8.0
+        klane = jax.lax.broadcasted_iota(jnp.int32, (1, n_chunks_max), 1)
+
+        # loop-invariant pieces
+        jrow_base = jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, W), 0).astype(jnp.float32)
+        jcol_base = jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, 1), 0).astype(jnp.float32)
+        slot_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, S), 1).astype(jnp.float32)
+        center_row = jnp.where(
+            lane3 == 0, jnp.float32(center[0]),
+            jnp.where(lane3 == 1, jnp.float32(center[1]),
+                      jnp.float32(center[2])))
+        tile_pw = tile_pw_ref[:]
+        expand_s = expand_s_ref[:]
+
+        def chunk_body(k, _):
+            kf = jnp.asarray(k, jnp.float32)
+            r8 = jnp.sum(jnp.where(klane == k, r8_all, 0.0))
+            r8i = r8.astype(jnp.int32)
+
+            wvals = vals_ref[pl.ds(r8i, W), :]                   # (W, V)
+            wcum = cum_ref[pl.ds(r8i, W), 0:2]                   # (W, 2)
+            # exact row orientation of the window's cum columns (values up
+            # to S*T overflow bf16 spacing -> HIGHEST for this tiny matmul)
+            cum_rows = jax.lax.dot_general(
+                wcum, eye_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)             # (2, W)
+            excl_row = cum_rows[0:1, :]
+            incl_row = cum_rows[1:2, :]
+
+            jrow = jrow_base + kf * chunk                        # (chunk, W)
+            onehot = ((jrow >= excl_row)
+                      & (jrow < incl_row)).astype(jnp.float32)
+            cvals = jnp.dot(onehot, wvals,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)                      # (chunk, V)
+            g = cvals[:, 0:HW] + cvals[:, HW:2 * HW]
+            co = g[:, 0:3]
+            zpieces = g[:, 3:3 + S]
+            ccum = g[:, 3 + S:4 + S]
+            cd = g[:, 4 + S:7 + S]
+            jcol = jcol_base + kf * chunk
+            s_j = jcol - ccum
+            smask = (s_j == slot_iota).astype(jnp.float32)       # (chunk, S)
+            z_sel = jnp.sum(zpieces * smask, axis=1, keepdims=True)
+
+            spos = co + cd * z_sel
+            l = spos - center_row
+            norm = jnp.sqrt(jnp.sqrt(
+                jnp.sum(l * l, axis=1, keepdims=True)))
+            inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
+            zero2c = jnp.zeros((chunk, 2), jnp.float32)
+            coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
+            x1 = _lane_encode(coords_n, *nt)
+            rgb_raw, alpha_raw = _nerf_mlp(
+                nw, x1.astype(nw["w0"].dtype), nerf_def)
+            rgba = jnp.concatenate(
+                [rgb_raw[:, 0:3], alpha_raw[:, 0:1]], axis=1)    # (chunk, 4)
+            if use_split:
+                rg_hi = rgba.astype(jnp.bfloat16).astype(jnp.float32)
+                rgba = jnp.concatenate([rg_hi, rgba - rg_hi], axis=1)
+            payload = jnp.dot(rgba, tile_pw,
+                              preferred_element_type=jnp.float32,
+                              precision=prec) \
+                * jnp.dot(smask, expand_s,
+                          preferred_element_type=jnp.float32)    # (chunk, pwS)
+            # scatter through the SAME mask: contract the chunk dim of both
+            delta = jax.lax.dot_general(
+                onehot, payload, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                                  # (W, pw*S)
+            acc_ref[pl.ds(r8i, W), :] = acc_ref[pl.ds(r8i, W), :] + delta
+            return 0
+
+        n_live = jnp.ceil(total * (1.0 / chunk)).astype(jnp.int32)
+        if dyn_loop:
+            jax.lax.fori_loop(0, n_live, chunk_body, 0)
+        else:
+            for k in range(n_chunks_max):
+                @pl.when(jnp.float32(k * chunk) < total)
+                def _(k=k):
+                    chunk_body(k, 0)
+
+        if stop_after == "compact":
+            out_ref[:] = jnp.concatenate(
+                [acc_ref[0:T, :],
+                 jnp.zeros((T, LANE - pw * S), jnp.float32)], axis=1)
+            return
+
+        # ---- composite: v5's exact S-step recurrence, tile-gated ----
+        pad = jnp.zeros((T, LANE - 4), jnp.float32)
+
+        def composite(n_slots):
+            trans = jnp.ones((T, 1), jnp.float32)
+            acc_rgb = jnp.zeros((T, 3), jnp.float32)
+            for s in range(n_slots):
+                live = (c > jnp.float32(s)).astype(jnp.float32)
+                rgba_s = acc_ref[0:T, pw * s:pw * s + 4]
+                if use_split:
+                    rgba_s = rgba_s + acc_ref[0:T, pw * s + 4:pw * s + 8]
+                sig = jax.nn.sigmoid(rgba_s)
+                sig_a = sig[:, 3:4] * live
+                if acc_alpha:
+                    sig_a = sig_a * p_cols[s]
+                w_s = sig_a * trans
+                trans = trans * (1.0 - sig_a + 1e-10)
+                acc_rgb = acc_rgb + w_s * sig[:, 0:3]
+            out_ref[:] = jnp.concatenate([acc_rgb, c, pad], axis=1)
+
+        if S > 4:
+            max_c = jnp.max(c)
+
+            @pl.when(max_c <= 2.0)
+            def _():
+                composite(2)
+
+            @pl.when(jnp.logical_and(max_c > 2.0, max_c <= 4.0))
+            def _():
+                composite(4)
+
+            @pl.when(max_c > 4.0)
+            def _():
+                composite(S)
+        else:
+            composite(S)
+
+    _ORACLE_KEYS = None
+    _NERF_KEYS = None
+
+    def build(packed_oracle, packed_nerf):
+        nonlocal _ORACLE_KEYS, _NERF_KEYS
+        _ORACLE_KEYS = sorted(packed_oracle.keys())
+        _NERF_KEYS = sorted(packed_nerf.keys())
+
+        @jax.jit
+        def run(dirs_pad, pose8, rot_pad):
+            B = dirs_pad.shape[0]
+            in_specs = [pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, LANE), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((block, block), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((W, W), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(tile_pw_c.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(expand_s_c.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)]
+            ws = []
+            for tbl in list(o_tables) + list(n_tables):
+                in_specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(jnp.asarray(tbl))
+            for k in _ORACLE_KEYS:
+                w = packed_oracle[k]
+                in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(w)
+            for k in _NERF_KEYS:
+                w = packed_nerf[k]
+                in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(w)
+            return pl.pallas_call(
+                kernel,
+                grid=(B // tile,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((tile + W, pw * S), jnp.float32),
+                    pltpu.VMEM((tile, max(D, 2 * S)), jnp.float32),
+                    pltpu.VMEM((tile + W, V), jnp.float32),
+                    pltpu.VMEM((tile + W, 8), jnp.float32)],
+                interpret=interpret,
+            )(jnp.asarray(dirs_pad), pose8, rot_pad, jnp.asarray(tril_b),
+              jnp.asarray(eye_w), jnp.asarray(tile_pw_c),
+              jnp.asarray(expand_s_c), *ws)
+
+        return run
+
+    return build

@@ -50,14 +50,63 @@ def render_sphere_image(pose, rotation, w, h, fov, focal,
     return img.reshape(h, w, 3), depth.reshape(h, w)
 
 
+def render_spheres_image(pose, rotation, w, h, fov, focal, spheres,
+                         far=10.0):
+    """Nearest-hit raytrace of several colored spheres.
+
+    spheres: list of (center(3,), radius, base_color(3,)). Returns
+    ((h, w, 3) rgb, (h, w) depth) like render_sphere_image."""
+    dirs = generate_ray_directions(w, h, fov, focal).reshape(-1, 3)
+    world_dirs = dirs @ rotation.T
+    o = np.broadcast_to(pose, world_dirs.shape)
+
+    img = np.zeros((w * h, 3), np.float32)
+    depth = np.full((w * h,), far, np.float32)
+    for sc, sr, scol in spheres:
+        oc = o - np.asarray(sc, np.float64)
+        b = np.sum(oc * world_dirs, axis=-1)
+        cq = np.sum(oc * oc, axis=-1) - sr ** 2
+        disc = b * b - cq
+        t = -b - np.sqrt(np.maximum(disc, 0))
+        hit = (disc > 0) & (t > 0) & (t < depth)
+        p = oc + world_dirs * t[:, None]
+        normal = p / sr
+        shade = np.abs(normal) * 0.5 + 0.5
+        img[hit] = (shade[hit] * np.asarray(scol, np.float32)).clip(0, 1)
+        depth[hit] = t[hit]
+    return img.reshape(h, w, 3), depth.reshape(h, w)
+
+
+def multi_object_spheres(far=8.0):
+    """A layered arrangement with strong view-cell parallax: objects at
+    depths ~2-6.5 with occlusion edges everywhere, so the trained oracle
+    must hedge across depth bins (2-3 samples/ray class, VERDICT r2 #6)."""
+    return [
+        ((-0.9, 0.6, 1.2), 0.55, (1.0, 0.45, 0.35)),
+        ((0.8, -0.5, 0.9), 0.6, (0.4, 0.8, 1.0)),
+        ((0.1, 0.8, 0.0), 0.5, (0.6, 1.0, 0.5)),
+        ((-0.6, -0.8, -0.3), 0.65, (1.0, 0.9, 0.4)),
+        ((0.9, 0.7, -1.1), 0.7, (0.9, 0.5, 1.0)),
+        ((0.0, -0.1, -1.6), 0.8, (0.5, 0.6, 0.9)),
+        ((-1.2, 0.1, -2.4), 0.9, (1.0, 0.7, 0.6)),
+        ((1.1, -0.9, -2.8), 0.95, (0.55, 0.95, 0.8)),
+    ]
+
+
 def make_scene(tmpdir, w=24, h=24, n_train=4, n_val=1, n_test=1,
-               with_depth=False):
+               with_depth=False, objects="sphere", cell_frac=0.2):
     os.makedirs(tmpdir, exist_ok=True)
     fov = 0.8
     focal = 0.5 * w / np.tan(0.5 * fov)
     center = [0.0, 0.0, 3.0]
-    cell_size = [0.5, 0.5, 0.5]
     far = 8.0
+    if objects == "multi":
+        # wider view cell -> real parallax -> multi-sample oracles
+        cell_size = [1.2, 1.2, 1.2]
+        spheres = multi_object_spheres(far)
+    else:
+        cell_size = [0.5, 0.5, 0.5]
+        spheres = None
 
     info = {
         "view_cell_center": center,
@@ -81,13 +130,17 @@ def make_scene(tmpdir, w=24, h=24, n_train=4, n_val=1, n_test=1,
         os.makedirs(os.path.join(tmpdir, split), exist_ok=True)
         frames = []
         for i in range(n):
-            offset = rng.uniform(-0.2, 0.2, 3) * np.array(cell_size)
+            offset = rng.uniform(-cell_frac, cell_frac, 3) * np.array(cell_size)
             eye = np.array(center) + offset
             m = look_at_matrix(eye)
             pose = m[:3, 3]
             rot = m[:3, :3]
-            img, depth = render_sphere_image(pose, rot, w, h, fov, focal,
-                                             far=far)
+            if spheres is not None:
+                img, depth = render_spheres_image(pose, rot, w, h, fov,
+                                                  focal, spheres, far=far)
+            else:
+                img, depth = render_sphere_image(pose, rot, w, h, fov, focal,
+                                                 far=far)
             name = f"{split}/{i:04d}"
             imageio.imwrite(os.path.join(tmpdir, name + ".png"),
                             (img * 255).astype(np.uint8))
@@ -97,6 +150,44 @@ def make_scene(tmpdir, w=24, h=24, n_train=4, n_val=1, n_test=1,
                            "transform_matrix": m.tolist()})
         with open(os.path.join(tmpdir, f"transforms_{split}.json"), "w") as f:
             json.dump({"frames": frames}, f)
+    return tmpdir
+
+
+def make_llff_scene(tmpdir, w=96, h=72, n_images=24, fov=0.8, seed=0):
+    """Forward-facing synthetic scene in RAW LLFF layout (``images/*.png`` +
+    ``poses_bounds.npy``), the input contract of convert_llff.py /
+    data/llff.py (reference: src/util/load_llff.py:239-312). Cameras jitter
+    in a plane facing the multi-sphere arrangement; rotation columns are
+    stored LLFF-style as [down, right, back] (the loader reorders them).
+    """
+    os.makedirs(os.path.join(tmpdir, "images"), exist_ok=True)
+    focal = 0.5 * w / np.tan(0.5 * fov)
+    far_plane = 8.0
+    spheres = multi_object_spheres(far_plane)
+    base = np.array([0.0, 0.0, 3.0])
+
+    import imageio.v2 as imageio
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_images):
+        eye = base + rng.uniform(-1, 1, 3) * np.array([0.45, 0.35, 0.12])
+        m = look_at_matrix(eye)          # c2w columns [right, up, back]
+        pose, rot = m[:3, 3], m[:3, :3]
+        img, depth = render_spheres_image(pose, rot, w, h, fov, focal,
+                                          spheres, far=far_plane)
+        imageio.imwrite(os.path.join(tmpdir, "images", f"{i:04d}.png"),
+                        (img * 255).astype(np.uint8))
+        llff_rot = np.stack([-rot[:, 1], rot[:, 0], rot[:, 2]], axis=1)
+        hwf = np.array([h, w, focal], np.float64)
+        mat35 = np.concatenate([llff_rot, pose[:, None], hwf[:, None]],
+                               axis=1)
+        # bounds: scene depth range seen by this camera (z-depths)
+        near = max(float(depth.min()) * 0.9, 0.1)
+        far = float(depth[depth < far_plane].max()
+                    if (depth < far_plane).any() else far_plane) * 1.1
+        rows.append(np.concatenate([mat35.ravel(), [near, far]]))
+    np.save(os.path.join(tmpdir, "poses_bounds.npy"),
+            np.stack(rows).astype(np.float64))
     return tmpdir
 
 

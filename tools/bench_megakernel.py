@@ -22,6 +22,7 @@ def main():
                                                    pack_oracle_weights,
                                                    prep_inputs)
     from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
+    from adanerf_tpu.ops.pallas.megakernel4 import make_megakernel_supertile
     from adanerf_tpu.ops.pallas.megakernel import pack_nerf_weights
     from adanerf_tpu.utils.profiling import chain_slope_time
     from types import SimpleNamespace
@@ -72,6 +73,11 @@ def main():
             elif name == "v5":
                 run = make_megakernel_compact(rt.oracle_def, rt.nerf_def,
                                               scene, mk_cfg, **kw)(po, pn)
+            elif name == "v6":
+                if "dyn" in kw:
+                    kw["dyn_loop"] = bool(kw.pop("dyn"))
+                run = make_megakernel_supertile(rt.oracle_def, rt.nerf_def,
+                                                scene, mk_cfg, **kw)(po, pn)
             else:
                 raise ValueError(name)
             out = run(dirs_pad, pose_row, rot_pad)

@@ -33,14 +33,21 @@ def main():
     ap.add_argument("--depth", action="store_true",
                     help="write ground-truth *_depth.npz (needed for "
                          "depth-supervised oracle losses)")
+    ap.add_argument("--objects", choices=["sphere", "multi"],
+                    default="sphere",
+                    help="'multi': layered multi-sphere scene with a wide "
+                         "view cell (parallax forces 2-3 oracle samples/px)")
+    ap.add_argument("--cell-frac", type=float, default=0.2,
+                    help="pose jitter as a fraction of the view cell size")
     a = ap.parse_args()
 
     from scene_utils import make_scene
     make_scene(a.out, w=a.size[0], h=a.size[1], n_train=a.n_train,
-               n_val=a.n_val, n_test=a.n_test, with_depth=a.depth)
+               n_val=a.n_val, n_test=a.n_test, with_depth=a.depth,
+               objects=a.objects, cell_frac=a.cell_frac)
     print(f"wrote synthetic scene to {a.out} "
           f"({a.size[0]}x{a.size[1]}, {a.n_train}/{a.n_val}/{a.n_test} "
-          f"train/val/test, depth={a.depth})")
+          f"train/val/test, depth={a.depth}, objects={a.objects})")
 
 
 if __name__ == "__main__":
