@@ -54,6 +54,7 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
                               interpret: bool = False,
                               precision: str = "default",
                               dyn_loop: bool = True,
+                              pipelined: bool = True,
                               stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
@@ -73,9 +74,14 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
 
     block = min(block, tile)
     assert tile % block == 0, (tile, block)
-    # window must cover the <= chunk+1 rays a chunk can span, 8-aligned start
-    W = window or (chunk + LANE)
-    assert W >= chunk + 16 and W % 8 == 0, (W, chunk)
+    # window must cover the <= chunk+1 rays a chunk can span, 8-aligned
+    # start; window=0 disables windowing (full-tile masks, v5-style)
+    full_mask = window == 0
+    W = (chunk + LANE) if window in (None, 0) else window
+    if full_mask:
+        W = 0
+    else:
+        assert W >= chunk + 16 and W % 8 == 0, (W, chunk)
     n_chunks_max = (S * tile + chunk - 1) // chunk
     assert n_chunks_max <= LANE, n_chunks_max
     assert 8 * S <= LANE
@@ -86,7 +92,6 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
     o_tables = lane_encode_tables([([0, 1, 2], fd0), ([3, 4, 5], fp0)])
     n_tables = lane_encode_tables([([0, 1, 2], fp1), ([3, 4, 5], fd1)])
     tril_b = np.tril(np.ones((block, block), np.float32), k=-1)
-    eye_w = np.eye(W, dtype=np.float32)
     tile_pw_c = np.tile(np.eye(pw, dtype=np.float32), (1, S))
     expand_s_c = np.kron(np.eye(S, dtype=np.float32),
                          np.ones((1, pw), np.float32))
@@ -94,19 +99,28 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
     HW = 16 if (S + 7) <= 16 else 32
     V = 2 * HW
 
-    def kernel(dirs_ref, pose_ref, rot_ref, tril_ref, eye_ref,
+    def kernel(dirs_ref, pose_ref, rot_ref, tril_ref,
                tile_pw_ref, expand_s_ref, *wrefs):
         ot = wrefs[0:5]
         nt = wrefs[5:10]
         wrefs = wrefs[10:]
         n_ow = len(_ORACLE_KEYS)
+        n_scr = 8 if pipe else 5
         ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
-        nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-5])}
-        out_ref = wrefs[-5]
-        acc_ref = wrefs[-4]   # (tile+W, pw*S) f32: per-slot raw rgba
-        keep_ref = wrefs[-3]  # (tile, max(D, 2S)) f32: select + z/p carry
-        vals_ref = wrefs[-2]  # (tile+W, V) f32: hi/lo packed gather payload
-        cum_ref = wrefs[-1]   # (tile+W, 8) f32: [cum_excl, cum_incl, ...]
+        nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-n_scr])}
+        scr = wrefs[-n_scr:]
+        out_ref = scr[0]
+        acc_ref = scr[1]   # (tile+W, pw*S) f32: per-slot raw rgba
+        keep_ref = scr[2]  # (tile, max(D, 2S)) f32: select + z/p carry
+        vals_ref = scr[3]  # (tile+W, V) f32: hi/lo packed gather payload
+        cum_ref = scr[4]   # (tile+W, 8) f32: [cum_excl, cum_incl, ...]
+        if pipe:
+            # double buffers: stage A (masks/gather/mid/encode, VPU-heavy)
+            # for chunk k+1 is issued BEFORE stage B (MLP/scatter, MXU-
+            # heavy) of chunk k, so the scheduler can overlap the units
+            x1_ref = scr[5]     # (2, chunk, LANE) encode output
+            sm_ref = scr[6]     # (2, chunk, S) slot mask
+            mk_ref = scr[7]     # (2, Wm, chunk) bf16 scatter/gather mask
 
         T = tile
         dirs_pad = dirs_ref[:]
@@ -141,32 +155,43 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
         if threshold > 0.0:
-            over = jnp.max(jnp.sum((d >= threshold).astype(jnp.int32),
-                                   axis=1))
-            needs_topk = over > S
+            # top-S cap fast path, gated per 256-row SUB-BLOCK: one ray over
+            # the cap only sends its own block down the S argmax rounds
+            # (tile-level gating at supertile sizes took the slow path almost
+            # always — measured 12.7 ms vs 3.6 ms select at tile=512)
+            G = min(T, 256)
+            iota_g = jax.lax.broadcasted_iota(jnp.int32, (G, D), 1)
+            for b in range(T // G):
+                lo = b * G
+                db = d[lo:lo + G]
+                over = jnp.max(jnp.sum((db >= threshold).astype(jnp.int32),
+                                       axis=1))
+                needs_topk = over > S
 
-            @pl.when(needs_topk)
-            def _():
-                work = d
-                v_k = None
-                for _ in range(S):
-                    v_k = jnp.max(work, axis=1, keepdims=True)
-                    first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
-                                    keepdims=True)
-                    work = jnp.where(iota == first, jnp.float32(-jnp.inf),
-                                     work)
-                above = d > v_k
-                n_above = jnp.sum(above.astype(jnp.int32), axis=1,
-                                  keepdims=True)
-                ties = d == v_k
-                tie_rank = _lane_cumsum(
-                    ties.astype(jnp.float32)).astype(jnp.int32)
-                kb = above | (ties & (tie_rank <= (S - n_above)))
-                keep_ref[:, :D] = (kb & (d >= threshold)).astype(jnp.float32)
+                @pl.when(needs_topk)
+                def _(db=db, lo=lo):
+                    work = db
+                    v_k = None
+                    for _ in range(S):
+                        v_k = jnp.max(work, axis=1, keepdims=True)
+                        first = jnp.min(jnp.where(work == v_k, iota_g, D),
+                                        axis=1, keepdims=True)
+                        work = jnp.where(iota_g == first,
+                                         jnp.float32(-jnp.inf), work)
+                    above = db > v_k
+                    n_above = jnp.sum(above.astype(jnp.int32), axis=1,
+                                      keepdims=True)
+                    ties = db == v_k
+                    tie_rank = _lane_cumsum(
+                        ties.astype(jnp.float32)).astype(jnp.int32)
+                    kb = above | (ties & (tie_rank <= (S - n_above)))
+                    keep_ref[lo:lo + G, :D] = \
+                        (kb & (db >= threshold)).astype(jnp.float32)
 
-            @pl.when(jnp.logical_not(needs_topk))
-            def _():
-                keep_ref[:, :D] = (d >= threshold).astype(jnp.float32)
+                @pl.when(jnp.logical_not(needs_topk))
+                def _(db=db, lo=lo):
+                    keep_ref[lo:lo + G, :D] = \
+                        (db >= threshold).astype(jnp.float32)
 
             keep = keep_ref[:, :D] > 0.0
         else:
@@ -269,10 +294,11 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
         vals_ref[0:T, :] = jnp.concatenate(
             [o_hi] + [p[0] for p in z_p] + [cum_hi * 128.0, d_hi, padh,
              o_lo] + [p[1] for p in z_p] + [cum_lo, d_lo, padh], axis=1)
-        vals_ref[T:T + W, :] = jnp.zeros((W, V), jnp.float32)
         pad6 = jnp.zeros((T, 6), jnp.float32)
         cum_ref[0:T, :] = jnp.concatenate([cum_excl, cum_incl, pad6], axis=1)
-        cum_ref[T:T + W, :] = jnp.zeros((W, 8), jnp.float32)
+        if not full_mask:
+            vals_ref[T:T + W, :] = jnp.zeros((W, V), jnp.float32)
+            cum_ref[T:T + W, :] = jnp.zeros((W, 8), jnp.float32)
         acc_ref[:, :] = jnp.zeros((T + W, pw * S), jnp.float32)
 
         # per-chunk window starts, 8-aligned, all at once: r_k = #{incl<=kC}
@@ -284,8 +310,8 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
         klane = jax.lax.broadcasted_iota(jnp.int32, (1, n_chunks_max), 1)
 
         # loop-invariant pieces
-        jrow_base = jax.lax.broadcasted_iota(
-            jnp.int32, (chunk, W), 0).astype(jnp.float32)
+        jlane_base = jax.lax.broadcasted_iota(
+            jnp.int32, (T if full_mask else W, chunk), 1).astype(jnp.float32)
         jcol_base = jax.lax.broadcasted_iota(
             jnp.int32, (chunk, 1), 0).astype(jnp.float32)
         slot_iota = jax.lax.broadcasted_iota(
@@ -297,28 +323,35 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
         tile_pw = tile_pw_ref[:]
         expand_s = expand_s_ref[:]
 
-        def chunk_body(k, _):
+        def r8_of(k):
+            return jnp.sum(jnp.where(klane == k, r8_all, 0.0)) \
+                .astype(jnp.int32)
+
+        def stage_a(k):
+            """Masks + compact gather + per-sample geometry + encode
+            (VPU-dominated); returns (onehotT, smask, x1)."""
             kf = jnp.asarray(k, jnp.float32)
-            r8 = jnp.sum(jnp.where(klane == k, r8_all, 0.0))
-            r8i = r8.astype(jnp.int32)
+            if full_mask:
+                wvals = vals_ref[:, :]                           # (T, V)
+                excl_col = cum_ref[:, 0:1]
+                incl_col = cum_ref[:, 1:2]
+            else:
+                r8i = r8_of(k)
+                wvals = vals_ref[pl.ds(r8i, W), :]               # (W, V)
+                excl_col = cum_ref[pl.ds(r8i, W), 0:1]           # (W, 1)
+                incl_col = cum_ref[pl.ds(r8i, W), 1:2]
 
-            wvals = vals_ref[pl.ds(r8i, W), :]                   # (W, V)
-            wcum = cum_ref[pl.ds(r8i, W), 0:2]                   # (W, 2)
-            # exact row orientation of the window's cum columns (values up
-            # to S*T overflow bf16 spacing -> HIGHEST for this tiny matmul)
-            cum_rows = jax.lax.dot_general(
-                wcum, eye_ref[:], (((0,), (0,)), ((), ())),
+            # ONE mask, built transposed (window rays as sublanes, chunk
+            # rows as lanes): column cum vs lane iota — no row-orientation
+            # matmul needed, and both the gather (contract-dim-0) and the
+            # scatter (standard) consume it directly.
+            jlane = jlane_base + kf * chunk                      # (W, chunk)
+            onehotT = ((jlane >= excl_col)
+                       & (jlane < incl_col)).astype(jnp.float32)
+            cvals = jax.lax.dot_general(
+                onehotT, wvals, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)             # (2, W)
-            excl_row = cum_rows[0:1, :]
-            incl_row = cum_rows[1:2, :]
-
-            jrow = jrow_base + kf * chunk                        # (chunk, W)
-            onehot = ((jrow >= excl_row)
-                      & (jrow < incl_row)).astype(jnp.float32)
-            cvals = jnp.dot(onehot, wvals,
-                            preferred_element_type=jnp.float32,
-                            precision=prec)                      # (chunk, V)
+                precision=prec)                                  # (chunk, V)
             g = cvals[:, 0:HW] + cvals[:, HW:2 * HW]
             co = g[:, 0:3]
             zpieces = g[:, 3:3 + S]
@@ -337,6 +370,10 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
             zero2c = jnp.zeros((chunk, 2), jnp.float32)
             coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
             x1 = _lane_encode(coords_n, *nt)
+            return onehotT, smask, x1
+
+        def stage_b(k, onehotT, smask, x1):
+            """Shading MLP + slot payload + scatter (MXU-dominated)."""
             rgb_raw, alpha_raw = _nerf_mlp(
                 nw, x1.astype(nw["w0"].dtype), nerf_def)
             rgba = jnp.concatenate(
@@ -349,16 +386,46 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
                               precision=prec) \
                 * jnp.dot(smask, expand_s,
                           preferred_element_type=jnp.float32)    # (chunk, pwS)
-            # scatter through the SAME mask: contract the chunk dim of both
-            delta = jax.lax.dot_general(
-                onehot, payload, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec)                                  # (W, pw*S)
-            acc_ref[pl.ds(r8i, W), :] = acc_ref[pl.ds(r8i, W), :] + delta
+            # scatter through the SAME mask (standard orientation)
+            delta = jnp.dot(onehotT.astype(jnp.float32), payload,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            if full_mask:
+                acc_ref[:, :] = acc_ref[:, :] + delta            # (T, pw*S)
+            else:
+                r8i = r8_of(k)
+                acc_ref[pl.ds(r8i, W), :] = \
+                    acc_ref[pl.ds(r8i, W), :] + delta            # (W, pw*S)
+
+        def chunk_body(k, _):
+            a, sm, x1 = stage_a(k)
+            stage_b(k, a, sm, x1)
             return 0
 
         n_live = jnp.ceil(total * (1.0 / chunk)).astype(jnp.int32)
-        if dyn_loop:
+        if dyn_loop and pipe:
+            # software pipeline: fill slot 0, then each iteration ISSUES
+            # stage A for chunk k+1 (independent VPU work into the other
+            # buffer slot) before stage B consumes chunk k's buffers
+            def fill(j):
+                a, sm, x1 = stage_a(j)
+                jm = jax.lax.rem(j, 2)
+                mk_ref[jm] = a.astype(jnp.bfloat16)
+                sm_ref[jm] = sm
+                x1_ref[jm] = x1.astype(x1_ref.dtype)
+
+            fill(0)
+
+            def pipe_body(k, _):
+                @pl.when(k + 1 < n_live)
+                def _():
+                    fill(k + 1)
+                km = jax.lax.rem(k, 2)
+                stage_b(k, mk_ref[km], sm_ref[km], x1_ref[km])
+                return 0
+
+            jax.lax.fori_loop(0, n_live, pipe_body, 0)
+        elif dyn_loop:
             jax.lax.fori_loop(0, n_live, chunk_body, 0)
         else:
             for k in range(n_chunks_max):
@@ -411,11 +478,16 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
 
     _ORACLE_KEYS = None
     _NERF_KEYS = None
+    x1_dtype = jnp.float32
+    pipe = dyn_loop and pipelined
 
     def build(packed_oracle, packed_nerf):
-        nonlocal _ORACLE_KEYS, _NERF_KEYS
+        nonlocal _ORACLE_KEYS, _NERF_KEYS, x1_dtype
         _ORACLE_KEYS = sorted(packed_oracle.keys())
         _NERF_KEYS = sorted(packed_nerf.keys())
+        # buffered encodes carry the dtype the MLP consumes (bf16 in prod,
+        # f32 in the fp32 interpret tests -> buffering changes no numerics)
+        x1_dtype = packed_nerf["w0"].dtype
 
         @jax.jit
         def run(dirs_pad, pose8, rot_pad):
@@ -427,8 +499,6 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
                         pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((block, block), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((W, W), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec(tile_pw_c.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM),
@@ -460,11 +530,14 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
                     pltpu.VMEM((tile + W, pw * S), jnp.float32),
                     pltpu.VMEM((tile, max(D, 2 * S)), jnp.float32),
                     pltpu.VMEM((tile + W, V), jnp.float32),
-                    pltpu.VMEM((tile + W, 8), jnp.float32)],
+                    pltpu.VMEM((tile + W, 8), jnp.float32)] + ([
+                    pltpu.VMEM((2, chunk, LANE), x1_dtype),
+                    pltpu.VMEM((2, chunk, S), jnp.float32),
+                    pltpu.VMEM((2, tile if full_mask else W, chunk),
+                               jnp.bfloat16)] if pipe else []),
                 interpret=interpret,
             )(jnp.asarray(dirs_pad), pose8, rot_pad, jnp.asarray(tril_b),
-              jnp.asarray(eye_w), jnp.asarray(tile_pw_c),
-              jnp.asarray(expand_s_c), *ws)
+              jnp.asarray(tile_pw_c), jnp.asarray(expand_s_c), *ws)
 
         return run
 

@@ -67,19 +67,22 @@ def test_supertile_matches_v5(setup):
     np.testing.assert_allclose(out6[:, :3], out5[:, :3], atol=2e-7, rtol=0)
 
 
-@pytest.mark.parametrize("dyn_loop", [True, False])
-def test_supertile_loop_modes_identical(setup, dyn_loop):
+@pytest.mark.parametrize("dyn_loop,pipelined", [(True, True), (True, False),
+                                                (False, False)])
+def test_supertile_loop_modes_identical(setup, dyn_loop, pipelined):
     ts = setup
     inp = _inputs(ts, 128)
-    out = _v6(ts, inp, tile=128, chunk=64, block=64, dyn_loop=dyn_loop)
+    out = _v6(ts, inp, tile=128, chunk=64, block=64, dyn_loop=dyn_loop,
+              pipelined=pipelined)
     out5 = _v5(ts, inp, tile=64, chunk=64)
     np.testing.assert_array_equal(out[:, 3], out5[:, 3])
     np.testing.assert_allclose(out[:, :3], out5[:, :3], atol=2e-7, rtol=0)
 
 
-@pytest.mark.parametrize("window", [80, 128, 192])
+@pytest.mark.parametrize("window", [0, 80, 128, 192])
 def test_supertile_window_widths(setup, window):
-    """The ray window is pure tiling: any W >= chunk+16 must be exact."""
+    """The ray window is pure tiling: any W >= chunk+16 must be exact, and
+    window=0 (full-tile masks, no dynamic slicing) must agree too."""
     ts = setup
     inp = _inputs(ts, 128)
     ref = _v6(ts, inp, tile=128, chunk=64, block=64)
