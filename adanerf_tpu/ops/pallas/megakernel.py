@@ -355,7 +355,16 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
         # unrolled elementwise blocks, but all S slots' MLP inputs stack into
         # ONE (S*T, 128) batch so the shading network runs as a single chain
         # of 11 large matmuls (a fori_loop over slots serialized the MXU and
-        # ran 4.8x slower; a fully unrolled body blew compile time)
+        # ran 4.8x slower; a fully unrolled body blew compile time).
+        # Geometry rides (T, 3) lane-packed rows (same reduce order as the
+        # v5 mid machinery -> identical values): ~8 ops/slot instead of the
+        # ~18 single-lane column ops of the round-1 form.
+        proj3s = jnp.concatenate([prx, pry, prz], axis=1)
+        lane3b = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+        center_row = jnp.where(
+            lane3b == 0, jnp.float32(center[0]),
+            jnp.where(lane3b == 1, jnp.float32(center[1]),
+                      jnp.float32(center[2])))
         xs = []
         lives = []
         probs = []
@@ -367,49 +376,39 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
                          .astype(jnp.float32))
             z = transform.to_world((bin_s + 0.5) * cell, dr)
 
-            sx = prx + ndx * z
-            sy = pry + ndy * z
-            sz = prz + ndz * z
+            spos = proj3s + nds3 * z
+            l = spos - center_row
             # InverseSqrtDistCentered normalization
-            lx = sx - center[0]
-            ly = sy - center[1]
-            lz = sz - center[2]
-            norm = jnp.sqrt(jnp.sqrt(lx * lx + ly * ly + lz * lz))
+            norm = jnp.sqrt(jnp.sqrt(
+                jnp.sum(l * l, axis=1, keepdims=True)))
             inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
-            qx = lx * inv
-            qy = ly * inv
-            qz = lz * inv
-
-            coords_n = jnp.concatenate([qx, qy, qz, ndx, ndy, ndz, zero2],
-                                       axis=1)
+            coords_n = jnp.concatenate([l * inv, nds3, zero2], axis=1)
             xs.append(_lane_encode(coords_n, *nt))
 
         x_all = jnp.concatenate(xs, axis=0)          # (S*T, 128)
         rgb_raw, alpha_raw = _nerf_mlp(nw, x_all.astype(nw["w0"].dtype),
                                        nerf_def)
 
-        # streaming front-to-back composite over the slot blocks
+        # streaming front-to-back composite over the slot blocks, rgba
+        # lane-packed: one sigmoid per slot over a (T, 4) slice instead of
+        # four single-lane ones (identical values/order)
         trans = jnp.ones((T, 1), jnp.float32)
-        acc_r = jnp.zeros((T, 1), jnp.float32)
-        acc_g = jnp.zeros((T, 1), jnp.float32)
-        acc_b = jnp.zeros((T, 1), jnp.float32)
+        acc_rgb = jnp.zeros((T, 3), jnp.float32)
         for s in range(S):
-            a_s = alpha_raw[s * T:(s + 1) * T, 0:1]
-            r_s = rgb_raw[s * T:(s + 1) * T, 0:1]
-            g_s = rgb_raw[s * T:(s + 1) * T, 1:2]
-            b_s = rgb_raw[s * T:(s + 1) * T, 2:3]
-            sig_a = jax.nn.sigmoid(a_s) * lives[s]
+            rgba_s = jnp.concatenate(
+                [rgb_raw[s * T:(s + 1) * T, 0:3],
+                 alpha_raw[s * T:(s + 1) * T, 0:1]], axis=1)
+            sig = jax.nn.sigmoid(rgba_s)
+            sig_a = sig[:, 3:4] * lives[s]
             if acc_alpha:
                 sig_a = sig_a * probs[s]
             w_s = sig_a * trans
             trans = trans * (1.0 - sig_a + 1e-10)
-            acc_r = acc_r + w_s * jax.nn.sigmoid(r_s)
-            acc_g = acc_g + w_s * jax.nn.sigmoid(g_s)
-            acc_b = acc_b + w_s * jax.nn.sigmoid(b_s)
+            acc_rgb = acc_rgb + w_s * sig[:, 0:3]
 
         count = n_per.astype(jnp.float32)[:, None]
         pad = jnp.zeros((T, LANE - 4), jnp.float32)
-        out_ref[:] = jnp.concatenate([acc_r, acc_g, acc_b, count, pad], axis=1)
+        out_ref[:] = jnp.concatenate([acc_rgb, count, pad], axis=1)
 
     _ORACLE_KEYS = None  # filled below
     _NERF_KEYS = None

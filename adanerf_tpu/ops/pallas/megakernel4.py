@@ -55,6 +55,7 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
                               precision: str = "default",
                               dyn_loop: bool = True,
                               pipelined: bool = True,
+                              no_shade: bool = False, no_encode: bool = False,
                               stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
@@ -369,15 +370,23 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
             inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
             zero2c = jnp.zeros((chunk, 2), jnp.float32)
             coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
-            x1 = _lane_encode(coords_n, *nt)
+            if no_encode:  # profiling hook: loop machinery w/o encode+MLP
+                x1 = jnp.concatenate(
+                    [coords_n, jnp.zeros((chunk, LANE - 8), jnp.float32)],
+                    axis=1)
+            else:
+                x1 = _lane_encode(coords_n, *nt)
             return onehotT, smask, x1
 
         def stage_b(k, onehotT, smask, x1):
             """Shading MLP + slot payload + scatter (MXU-dominated)."""
-            rgb_raw, alpha_raw = _nerf_mlp(
-                nw, x1.astype(nw["w0"].dtype), nerf_def)
-            rgba = jnp.concatenate(
-                [rgb_raw[:, 0:3], alpha_raw[:, 0:1]], axis=1)    # (chunk, 4)
+            if no_shade or no_encode:  # profiling hooks: skip the MLP
+                rgba = x1[:, 0:4]
+            else:
+                rgb_raw, alpha_raw = _nerf_mlp(
+                    nw, x1.astype(nw["w0"].dtype), nerf_def)
+                rgba = jnp.concatenate(
+                    [rgb_raw[:, 0:3], alpha_raw[:, 0:1]], axis=1)
             if use_split:
                 rg_hi = rgba.astype(jnp.bfloat16).astype(jnp.float32)
                 rgba = jnp.concatenate([rg_hi, rgba - rg_hi], axis=1)

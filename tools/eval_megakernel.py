@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--fp32-delta", action="store_true",
                     help="also render through the fp32 XLA chunked pipeline "
                          "and report the kernel-vs-fp32 PSNR delta")
+    ap.add_argument("--variant", default="v5", help="kernel variant (v3/v5/v6)")
+    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--mlp-f32", action="store_true",
+                    help="diagnostic: f32 weight packing + highest matmul "
+                         "precision (all in-kernel matmuls exact)")
     args = ap.parse_args()
 
     from adanerf_tpu.platform import apply_platform_env
@@ -58,7 +63,13 @@ def main():
     dirs = generate_ray_directions(w, h, scene.fov, focal) \
         .reshape(-1, 3).astype(np.float32)
 
-    render = build_megakernel_renderer(rt, scene, dirs)
+    mk_kw = {}
+    if args.mlp_f32:
+        import jax.numpy as jnp2
+        mk_kw = dict(pack_dtype=jnp2.float32, mlp_precision="highest")
+    render = build_megakernel_renderer(rt, scene, dirs,
+                                       variant=args.variant, tile=args.tile,
+                                       **mk_kw)
     rt32 = None
     if args.fp32_delta:
         rt32, _ = build_renderer_from_export(args.export_dir,

@@ -121,11 +121,18 @@ def build_renderer_from_export(model_dir, batch_size, dtype_str="bf16"):
     return rt, scene
 
 
-def build_megakernel_renderer(rt, scene, dirs, variant="v5"):
+def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
+                              pack_dtype=None, mlp_precision=None,
+                              **mk_kwargs):
     """Frame renderer through the fused whole-frame Pallas kernel
     (ops/pallas/megakernel3.py) — the production analog of the viewer's
     single CUDA+TensorRT loop. Same (frame, n_acts) contract as
-    RealtimeRenderer.make_frame_renderer."""
+    RealtimeRenderer.make_frame_renderer.
+
+    pack_dtype/mlp_precision are precision-diagnostic knobs
+    (tools/eval_megakernel.py --mlp-f32): f32 weight packing + a
+    'highest' default-matmul-precision build makes every in-kernel matmul
+    exact, isolating bf16 rounding from algorithmic differences."""
     import jax.numpy as jnp
 
     from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
@@ -133,6 +140,7 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5"):
                                                    pack_oracle_weights,
                                                    prep_inputs)
     from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
+    from adanerf_tpu.ops.pallas.megakernel4 import make_megakernel_supertile
 
     S = rt.max_samples
     if not (rt.threshold > 0.0 and 8 * S <= 128):
@@ -141,7 +149,6 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5"):
                          f", S={S})")
     config = rt.config
 
-    tile = 256
     n_pix = dirs.shape[0]
     n_pad = ((n_pix + tile - 1) // tile) * tile
     dirs_padded = np.zeros((n_pad, 3), np.float32)
@@ -150,17 +157,24 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5"):
                                  np.eye(3, dtype=np.float32))
 
     import jax
-    dtype = rt.dtype or jnp.float32
+    dtype = pack_dtype or rt.dtype or jnp.float32
     po = pack_oracle_weights(rt.oracle_def, rt.params[0], dtype=dtype)
     pn = pack_nerf_weights(rt.nerf_def, rt.params[1], dtype=dtype)
     interp = jax.default_backend() != "tpu"
-    if variant == "v3":   # dense-slot kernel: wins when rays sit at the cap
+    if mlp_precision:  # diagnostic: make every in-kernel matmul this precise
+        jax.config.update("jax_default_matmul_precision", mlp_precision)
+    if variant == "v3":      # dense-slot kernel: wins when rays sit at cap
         mk = make_megakernel(rt.oracle_def, rt.nerf_def, scene, config,
-                             tile=tile, interpret=interp)(po, pn)
-    else:                 # v5 in-tile compaction: wins sparse workloads
+                             tile=tile, interpret=interp,
+                             **mk_kwargs)(po, pn)
+    elif variant == "v6":
+        mk = make_megakernel_supertile(
+            rt.oracle_def, rt.nerf_def, scene, config, tile=tile,
+            interpret=interp, **mk_kwargs)(po, pn)
+    else:                    # v5 in-tile compaction: wins sparse workloads
         mk = make_megakernel_compact(rt.oracle_def, rt.nerf_def, scene,
                                      config, tile=tile, chunk=tile,
-                                     interpret=interp)(po, pn)
+                                     interpret=interp, **mk_kwargs)(po, pn)
 
     def render(p0, p1, pose, rot, dirs_dev):
         pose8 = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(pose)
