@@ -56,6 +56,7 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
                               dyn_loop: bool = True,
                               pipelined: bool = True,
                               no_shade: bool = False, no_encode: bool = False,
+                              hybrid: bool = True, hybrid_beta: float = 2.2,
                               stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
@@ -265,182 +266,249 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
                 + [jnp.zeros((T, LANE - 2 * S), jnp.float32)], axis=1)
             return
 
-        # ---- compaction bookkeeping (supertile) ----
         c = n_per.astype(jnp.float32)[:, None]                   # (T, 1)
-        # cum over T rays: block-local tril matmuls + scalar block offsets
-        # (all-f32, exact; avoids a (T, T) constant)
-        cum_blocks = []
-        offset = jnp.float32(0.0)
-        for b in range(T // block):
-            cb = c[b * block:(b + 1) * block]
-            cum_blocks.append(
-                jnp.dot(tril_ref[:], cb, preferred_element_type=jnp.float32)
-                + offset)
-            offset = offset + jnp.sum(cb)
-        cum_excl = jnp.concatenate(cum_blocks, axis=0)           # (T, 1)
-        cum_incl = cum_excl + c
-        total = offset                                            # scalar
-
-        # hi/lo packed per-ray gather payload (identical layout to v5)
-        def split2(v):
-            hi = v.astype(jnp.bfloat16).astype(jnp.float32)
-            return hi, v - hi
-
-        o_hi, o_lo = split2(proj3)
-        z_p = [split2(z) for z in z_cols]
-        d_hi, d_lo = split2(nds3)
-        cum_hi = jnp.floor(cum_excl * (1.0 / 128.0))
-        cum_lo = cum_excl - cum_hi * 128.0
-        padh = jnp.zeros((T, HW - (S + 7)), jnp.float32)
-        vals_ref[0:T, :] = jnp.concatenate(
-            [o_hi] + [p[0] for p in z_p] + [cum_hi * 128.0, d_hi, padh,
-             o_lo] + [p[1] for p in z_p] + [cum_lo, d_lo, padh], axis=1)
-        pad6 = jnp.zeros((T, 6), jnp.float32)
-        cum_ref[0:T, :] = jnp.concatenate([cum_excl, cum_incl, pad6], axis=1)
-        if not full_mask:
-            vals_ref[T:T + W, :] = jnp.zeros((W, V), jnp.float32)
-            cum_ref[T:T + W, :] = jnp.zeros((W, 8), jnp.float32)
-        acc_ref[:, :] = jnp.zeros((T + W, pw * S), jnp.float32)
-
-        # per-chunk window starts, 8-aligned, all at once: r_k = #{incl<=kC}
-        kgrid = jax.lax.broadcasted_iota(
-            jnp.int32, (1, n_chunks_max), 1).astype(jnp.float32) * chunk
-        r_all = jnp.sum((cum_incl <= kgrid).astype(jnp.float32), axis=0,
-                        keepdims=True)                           # (1, NC)
-        r8_all = jnp.floor(r_all * 0.125) * 8.0
-        klane = jax.lax.broadcasted_iota(jnp.int32, (1, n_chunks_max), 1)
-
-        # loop-invariant pieces
-        jlane_base = jax.lax.broadcasted_iota(
-            jnp.int32, (T if full_mask else W, chunk), 1).astype(jnp.float32)
-        jcol_base = jax.lax.broadcasted_iota(
-            jnp.int32, (chunk, 1), 0).astype(jnp.float32)
-        slot_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (1, S), 1).astype(jnp.float32)
+        pad = jnp.zeros((T, LANE - 4), jnp.float32)
         center_row = jnp.where(
             lane3 == 0, jnp.float32(center[0]),
             jnp.where(lane3 == 1, jnp.float32(center[1]),
                       jnp.float32(center[2])))
-        tile_pw = tile_pw_ref[:]
-        expand_s = expand_s_ref[:]
 
-        def r8_of(k):
-            return jnp.sum(jnp.where(klane == k, r8_all, 0.0)) \
-                .astype(jnp.int32)
+        # ---- hybrid dense fast path ------------------------------------
+        # Real workloads are dominated by count-UNIFORM(ish) tiles (sky and
+        # flat surfaces keep 1 sample; at-cap reference scenes keep exactly
+        # S_eff everywhere). For a tile whose max count m is small, shading
+        # m dense slots straight from z_cols (v3-style: no masks, no
+        # gather, no per-sample machinery) beats the compaction loop, whose
+        # measured cost is ~hybrid_beta x the pure-MLP time of its live
+        # samples. Chosen per tile: dense iff m*T <= hybrid_beta*sum(c).
+        hybrid_on = hybrid and not stop_after and not (no_shade or no_encode)
+        zero2t = jnp.zeros((T, 2), jnp.float32)
 
-        def stage_a(k):
-            """Masks + compact gather + per-sample geometry + encode
-            (VPU-dominated); returns (onehotT, smask, x1)."""
-            kf = jnp.asarray(k, jnp.float32)
-            if full_mask:
-                wvals = vals_ref[:, :]                           # (T, V)
-                excl_col = cum_ref[:, 0:1]
-                incl_col = cum_ref[:, 1:2]
-            else:
-                r8i = r8_of(k)
-                wvals = vals_ref[pl.ds(r8i, W), :]               # (W, V)
-                excl_col = cum_ref[pl.ds(r8i, W), 0:1]           # (W, 1)
-                incl_col = cum_ref[pl.ds(r8i, W), 1:2]
+        def dense_path(m):
+            xs = []
+            for sl in range(m):
+                spos = proj3 + nds3 * z_cols[sl]
+                lv = spos - center_row
+                nrm = jnp.sqrt(jnp.sqrt(
+                    jnp.sum(lv * lv, axis=1, keepdims=True)))
+                inv = 1.0 / (sqrt_max_depth * jnp.maximum(nrm, 1e-12))
+                coords = jnp.concatenate([lv * inv, nds3, zero2t], axis=1)
+                xs.append(_lane_encode(coords, *nt).astype(nw["w0"].dtype))
+            x_all = jnp.concatenate(xs, axis=0)                  # (m*T, 128)
+            rgb_raw, alpha_raw = _nerf_mlp(nw, x_all, nerf_def)
+            trans = jnp.ones((T, 1), jnp.float32)
+            acc_rgb = jnp.zeros((T, 3), jnp.float32)
+            for sl in range(m):
+                live = (c > jnp.float32(sl)).astype(jnp.float32)
+                rgba_s = jnp.concatenate(
+                    [rgb_raw[sl * T:(sl + 1) * T, 0:3],
+                     alpha_raw[sl * T:(sl + 1) * T, 0:1]], axis=1)
+                sig = jax.nn.sigmoid(rgba_s)
+                sig_a = sig[:, 3:4] * live
+                if acc_alpha:
+                    sig_a = sig_a * p_cols[sl]
+                w_s = sig_a * trans
+                trans = trans * (1.0 - sig_a + 1e-10)
+                acc_rgb = acc_rgb + w_s * sig[:, 0:3]
+            out_ref[:] = jnp.concatenate([acc_rgb, c, pad], axis=1)
 
-            # ONE mask, built transposed (window rays as sublanes, chunk
-            # rows as lanes): column cum vs lane iota — no row-orientation
-            # matmul needed, and both the gather (contract-dim-0) and the
-            # scatter (standard) consume it directly.
-            jlane = jlane_base + kf * chunk                      # (W, chunk)
-            onehotT = ((jlane >= excl_col)
-                       & (jlane < incl_col)).astype(jnp.float32)
-            cvals = jax.lax.dot_general(
-                onehotT, wvals, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec)                                  # (chunk, V)
-            g = cvals[:, 0:HW] + cvals[:, HW:2 * HW]
-            co = g[:, 0:3]
-            zpieces = g[:, 3:3 + S]
-            ccum = g[:, 3 + S:4 + S]
-            cd = g[:, 4 + S:7 + S]
-            jcol = jcol_base + kf * chunk
-            s_j = jcol - ccum
-            smask = (s_j == slot_iota).astype(jnp.float32)       # (chunk, S)
-            z_sel = jnp.sum(zpieces * smask, axis=1, keepdims=True)
+        any_dense = jnp.bool_(False)
+        if hybrid_on:
+            dense_ms = [m for m in (1, 2, 4) if m <= S]
+            maxc_t = jnp.max(c)
+            sum_c = jnp.sum(c)
+            prev = jnp.float32(0.0)
+            for m in dense_ms:
+                cond = jnp.logical_and(
+                    jnp.logical_and(maxc_t > prev, maxc_t <= jnp.float32(m)),
+                    jnp.float32(m * T) <= hybrid_beta * sum_c)
+                any_dense = jnp.logical_or(any_dense, cond)
+                prev = jnp.float32(m)
 
-            spos = co + cd * z_sel
-            l = spos - center_row
-            norm = jnp.sqrt(jnp.sqrt(
-                jnp.sum(l * l, axis=1, keepdims=True)))
-            inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
-            zero2c = jnp.zeros((chunk, 2), jnp.float32)
-            coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
-            if no_encode:  # profiling hook: loop machinery w/o encode+MLP
-                x1 = jnp.concatenate(
-                    [coords_n, jnp.zeros((chunk, LANE - 8), jnp.float32)],
-                    axis=1)
-            else:
-                x1 = _lane_encode(coords_n, *nt)
-            return onehotT, smask, x1
+                @pl.when(cond)
+                def _(m=m):
+                    dense_path(m)
 
-        def stage_b(k, onehotT, smask, x1):
-            """Shading MLP + slot payload + scatter (MXU-dominated)."""
-            if no_shade or no_encode:  # profiling hooks: skip the MLP
-                rgba = x1[:, 0:4]
-            else:
-                rgb_raw, alpha_raw = _nerf_mlp(
-                    nw, x1.astype(nw["w0"].dtype), nerf_def)
-                rgba = jnp.concatenate(
-                    [rgb_raw[:, 0:3], alpha_raw[:, 0:1]], axis=1)
-            if use_split:
-                rg_hi = rgba.astype(jnp.bfloat16).astype(jnp.float32)
-                rgba = jnp.concatenate([rg_hi, rgba - rg_hi], axis=1)
-            payload = jnp.dot(rgba, tile_pw,
-                              preferred_element_type=jnp.float32,
-                              precision=prec) \
-                * jnp.dot(smask, expand_s,
-                          preferred_element_type=jnp.float32)    # (chunk, pwS)
-            # scatter through the SAME mask (standard orientation)
-            delta = jnp.dot(onehotT.astype(jnp.float32), payload,
-                            preferred_element_type=jnp.float32,
-                            precision=prec)
-            if full_mask:
-                acc_ref[:, :] = acc_ref[:, :] + delta            # (T, pw*S)
-            else:
-                r8i = r8_of(k)
-                acc_ref[pl.ds(r8i, W), :] = \
-                    acc_ref[pl.ds(r8i, W), :] + delta            # (W, pw*S)
+        def compact_path():
+            # ---- compaction bookkeeping (supertile) ----
+            # cum over T rays: block-local tril matmuls + scalar block offsets
+            # (all-f32, exact; avoids a (T, T) constant)
+            cum_blocks = []
+            offset = jnp.float32(0.0)
+            for b in range(T // block):
+                cb = c[b * block:(b + 1) * block]
+                cum_blocks.append(
+                    jnp.dot(tril_ref[:], cb, preferred_element_type=jnp.float32)
+                    + offset)
+                offset = offset + jnp.sum(cb)
+            cum_excl = jnp.concatenate(cum_blocks, axis=0)           # (T, 1)
+            cum_incl = cum_excl + c
+            total = offset                                            # scalar
 
-        def chunk_body(k, _):
-            a, sm, x1 = stage_a(k)
-            stage_b(k, a, sm, x1)
-            return 0
+            # hi/lo packed per-ray gather payload (identical layout to v5)
+            def split2(v):
+                hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+                return hi, v - hi
 
-        n_live = jnp.ceil(total * (1.0 / chunk)).astype(jnp.int32)
-        if dyn_loop and pipe:
-            # software pipeline: fill slot 0, then each iteration ISSUES
-            # stage A for chunk k+1 (independent VPU work into the other
-            # buffer slot) before stage B consumes chunk k's buffers
-            def fill(j):
-                a, sm, x1 = stage_a(j)
-                jm = jax.lax.rem(j, 2)
-                mk_ref[jm] = a.astype(jnp.bfloat16)
-                sm_ref[jm] = sm
-                x1_ref[jm] = x1.astype(x1_ref.dtype)
+            o_hi, o_lo = split2(proj3)
+            z_p = [split2(z) for z in z_cols]
+            d_hi, d_lo = split2(nds3)
+            cum_hi = jnp.floor(cum_excl * (1.0 / 128.0))
+            cum_lo = cum_excl - cum_hi * 128.0
+            padh = jnp.zeros((T, HW - (S + 7)), jnp.float32)
+            vals_ref[0:T, :] = jnp.concatenate(
+                [o_hi] + [p[0] for p in z_p] + [cum_hi * 128.0, d_hi, padh,
+                 o_lo] + [p[1] for p in z_p] + [cum_lo, d_lo, padh], axis=1)
+            pad6 = jnp.zeros((T, 6), jnp.float32)
+            cum_ref[0:T, :] = jnp.concatenate([cum_excl, cum_incl, pad6], axis=1)
+            if not full_mask:
+                vals_ref[T:T + W, :] = jnp.zeros((W, V), jnp.float32)
+                cum_ref[T:T + W, :] = jnp.zeros((W, 8), jnp.float32)
+            acc_ref[:, :] = jnp.zeros((T + W, pw * S), jnp.float32)
 
-            fill(0)
+            # per-chunk window starts, 8-aligned, all at once: r_k = #{incl<=kC}
+            kgrid = jax.lax.broadcasted_iota(
+                jnp.int32, (1, n_chunks_max), 1).astype(jnp.float32) * chunk
+            r_all = jnp.sum((cum_incl <= kgrid).astype(jnp.float32), axis=0,
+                            keepdims=True)                           # (1, NC)
+            r8_all = jnp.floor(r_all * 0.125) * 8.0
+            klane = jax.lax.broadcasted_iota(jnp.int32, (1, n_chunks_max), 1)
 
-            def pipe_body(k, _):
-                @pl.when(k + 1 < n_live)
-                def _():
-                    fill(k + 1)
-                km = jax.lax.rem(k, 2)
-                stage_b(k, mk_ref[km], sm_ref[km], x1_ref[km])
+            # loop-invariant pieces
+            jlane_base = jax.lax.broadcasted_iota(
+                jnp.int32, (T if full_mask else W, chunk), 1).astype(jnp.float32)
+            jcol_base = jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, 1), 0).astype(jnp.float32)
+            slot_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, S), 1).astype(jnp.float32)
+            tile_pw = tile_pw_ref[:]
+            expand_s = expand_s_ref[:]
+
+            def r8_of(k):
+                return jnp.sum(jnp.where(klane == k, r8_all, 0.0)) \
+                    .astype(jnp.int32)
+
+            def stage_a(k):
+                """Masks + compact gather + per-sample geometry + encode
+                (VPU-dominated); returns (onehotT, smask, x1)."""
+                kf = jnp.asarray(k, jnp.float32)
+                if full_mask:
+                    wvals = vals_ref[:, :]                           # (T, V)
+                    excl_col = cum_ref[:, 0:1]
+                    incl_col = cum_ref[:, 1:2]
+                else:
+                    r8i = r8_of(k)
+                    wvals = vals_ref[pl.ds(r8i, W), :]               # (W, V)
+                    excl_col = cum_ref[pl.ds(r8i, W), 0:1]           # (W, 1)
+                    incl_col = cum_ref[pl.ds(r8i, W), 1:2]
+
+                # ONE mask, built transposed (window rays as sublanes, chunk
+                # rows as lanes): column cum vs lane iota — no row-orientation
+                # matmul needed, and both the gather (contract-dim-0) and the
+                # scatter (standard) consume it directly.
+                jlane = jlane_base + kf * chunk                      # (W, chunk)
+                onehotT = ((jlane >= excl_col)
+                           & (jlane < incl_col)).astype(jnp.float32)
+                cvals = jax.lax.dot_general(
+                    onehotT, wvals, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec)                                  # (chunk, V)
+                g = cvals[:, 0:HW] + cvals[:, HW:2 * HW]
+                co = g[:, 0:3]
+                zpieces = g[:, 3:3 + S]
+                ccum = g[:, 3 + S:4 + S]
+                cd = g[:, 4 + S:7 + S]
+                jcol = jcol_base + kf * chunk
+                s_j = jcol - ccum
+                smask = (s_j == slot_iota).astype(jnp.float32)       # (chunk, S)
+                z_sel = jnp.sum(zpieces * smask, axis=1, keepdims=True)
+
+                spos = co + cd * z_sel
+                l = spos - center_row
+                norm = jnp.sqrt(jnp.sqrt(
+                    jnp.sum(l * l, axis=1, keepdims=True)))
+                inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
+                zero2c = jnp.zeros((chunk, 2), jnp.float32)
+                coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
+                if no_encode:  # profiling hook: loop machinery w/o encode+MLP
+                    x1 = jnp.concatenate(
+                        [coords_n, jnp.zeros((chunk, LANE - 8), jnp.float32)],
+                        axis=1)
+                else:
+                    x1 = _lane_encode(coords_n, *nt)
+                return onehotT, smask, x1
+
+            def stage_b(k, onehotT, smask, x1):
+                """Shading MLP + slot payload + scatter (MXU-dominated)."""
+                if no_shade or no_encode:  # profiling hooks: skip the MLP
+                    rgba = x1[:, 0:4]
+                else:
+                    rgb_raw, alpha_raw = _nerf_mlp(
+                        nw, x1.astype(nw["w0"].dtype), nerf_def)
+                    rgba = jnp.concatenate(
+                        [rgb_raw[:, 0:3], alpha_raw[:, 0:1]], axis=1)
+                if use_split:
+                    rg_hi = rgba.astype(jnp.bfloat16).astype(jnp.float32)
+                    rgba = jnp.concatenate([rg_hi, rgba - rg_hi], axis=1)
+                payload = jnp.dot(rgba, tile_pw,
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec) \
+                    * jnp.dot(smask, expand_s,
+                              preferred_element_type=jnp.float32)    # (chunk, pwS)
+                # scatter through the SAME mask (standard orientation)
+                delta = jnp.dot(onehotT.astype(jnp.float32), payload,
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+                if full_mask:
+                    acc_ref[:, :] = acc_ref[:, :] + delta            # (T, pw*S)
+                else:
+                    r8i = r8_of(k)
+                    acc_ref[pl.ds(r8i, W), :] = \
+                        acc_ref[pl.ds(r8i, W), :] + delta            # (W, pw*S)
+
+            def chunk_body(k, _):
+                a, sm, x1 = stage_a(k)
+                stage_b(k, a, sm, x1)
                 return 0
 
-            jax.lax.fori_loop(0, n_live, pipe_body, 0)
-        elif dyn_loop:
-            jax.lax.fori_loop(0, n_live, chunk_body, 0)
+            n_live = jnp.ceil(total * (1.0 / chunk)).astype(jnp.int32)
+            if dyn_loop and pipe:
+                # software pipeline: fill slot 0, then each iteration ISSUES
+                # stage A for chunk k+1 (independent VPU work into the other
+                # buffer slot) before stage B consumes chunk k's buffers
+                def fill(j):
+                    a, sm, x1 = stage_a(j)
+                    jm = jax.lax.rem(j, 2)
+                    mk_ref[jm] = a.astype(jnp.bfloat16)
+                    sm_ref[jm] = sm
+                    x1_ref[jm] = x1.astype(x1_ref.dtype)
+
+                fill(0)
+
+                def pipe_body(k, _):
+                    @pl.when(k + 1 < n_live)
+                    def _():
+                        fill(k + 1)
+                    km = jax.lax.rem(k, 2)
+                    stage_b(k, mk_ref[km], sm_ref[km], x1_ref[km])
+                    return 0
+
+                jax.lax.fori_loop(0, n_live, pipe_body, 0)
+            elif dyn_loop:
+                jax.lax.fori_loop(0, n_live, chunk_body, 0)
+            else:
+                for k in range(n_chunks_max):
+                    @pl.when(jnp.float32(k * chunk) < total)
+                    def _(k=k):
+                        chunk_body(k, 0)
+
+
+        if hybrid_on:
+            @pl.when(jnp.logical_not(any_dense))
+            def _():
+                compact_path()
         else:
-            for k in range(n_chunks_max):
-                @pl.when(jnp.float32(k * chunk) < total)
-                def _(k=k):
-                    chunk_body(k, 0)
+            compact_path()
 
         if stop_after == "compact":
             out_ref[:] = jnp.concatenate(
@@ -449,8 +517,6 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
             return
 
         # ---- composite: v5's exact S-step recurrence, tile-gated ----
-        pad = jnp.zeros((T, LANE - 4), jnp.float32)
-
         def composite(n_slots):
             trans = jnp.ones((T, 1), jnp.float32)
             acc_rgb = jnp.zeros((T, 3), jnp.float32)
@@ -468,22 +534,30 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
                 acc_rgb = acc_rgb + w_s * sig[:, 0:3]
             out_ref[:] = jnp.concatenate([acc_rgb, c, pad], axis=1)
 
-        if S > 4:
-            max_c = jnp.max(c)
+        def composite_gated():
+            if S > 4:
+                max_c = jnp.max(c)
 
-            @pl.when(max_c <= 2.0)
-            def _():
-                composite(2)
+                @pl.when(max_c <= 2.0)
+                def _():
+                    composite(2)
 
-            @pl.when(jnp.logical_and(max_c > 2.0, max_c <= 4.0))
-            def _():
-                composite(4)
+                @pl.when(jnp.logical_and(max_c > 2.0, max_c <= 4.0))
+                def _():
+                    composite(4)
 
-            @pl.when(max_c > 4.0)
-            def _():
+                @pl.when(max_c > 4.0)
+                def _():
+                    composite(S)
+            else:
                 composite(S)
+
+        if hybrid_on:
+            @pl.when(jnp.logical_not(any_dense))
+            def _():
+                composite_gated()
         else:
-            composite(S)
+            composite_gated()
 
     _ORACLE_KEYS = None
     _NERF_KEYS = None

@@ -61,10 +61,29 @@ def test_supertile_matches_v5(setup):
     inp = _inputs(ts, 256)
     out5 = _v5(ts, inp, tile=64, chunk=64)
     # supertile 4x the v5 tile, block-hierarchical cum, windowed chunks
-    out6 = _v6(ts, inp, tile=256, chunk=64, block=64)
+    out6 = _v6(ts, inp, tile=256, chunk=64, block=64, hybrid=False)
     np.testing.assert_array_equal(out6[:, 3], out5[:, 3])
     # reduction-order (1-ulp class) differences only
     np.testing.assert_allclose(out6[:, :3], out5[:, :3], atol=2e-7, rtol=0)
+
+
+def test_hybrid_dense_fast_path_matches(setup):
+    """Count-uniform(ish) tiles take the dense v3-style sub-path, which
+    skips the scatter's hi/lo round-trip — agreement with the compaction
+    path is at the 2^-17 payload-split level, not bitwise."""
+    ts = setup
+    inp = _inputs(ts, 256)
+    ref = _v6(ts, inp, tile=64, chunk=64, block=64, hybrid=False)
+    hyb = _v6(ts, inp, tile=64, chunk=64, block=64, hybrid=True)
+    np.testing.assert_array_equal(hyb[:, 3], ref[:, 3])
+    np.testing.assert_allclose(hyb[:, :3], ref[:, :3], atol=2e-5, rtol=0)
+    # force the compaction path on every tile (beta=0 disables dense)
+    off = _v6(ts, inp, tile=64, chunk=64, block=64, hybrid=True,
+              hybrid_beta=0.0)
+    np.testing.assert_array_equal(off[:, 3], ref[:, 3])
+    # same compaction math; the extra pl.when structure reorders one CPU
+    # reduction -> 1-ulp jitter only
+    np.testing.assert_allclose(off, ref, atol=2e-7, rtol=0)
 
 
 @pytest.mark.parametrize("dyn_loop,pipelined", [(True, True), (True, False),
@@ -73,7 +92,7 @@ def test_supertile_loop_modes_identical(setup, dyn_loop, pipelined):
     ts = setup
     inp = _inputs(ts, 128)
     out = _v6(ts, inp, tile=128, chunk=64, block=64, dyn_loop=dyn_loop,
-              pipelined=pipelined)
+              pipelined=pipelined, hybrid=False)
     out5 = _v5(ts, inp, tile=64, chunk=64)
     np.testing.assert_array_equal(out[:, 3], out5[:, 3])
     np.testing.assert_allclose(out[:, :3], out5[:, :3], atol=2e-7, rtol=0)
@@ -85,8 +104,9 @@ def test_supertile_window_widths(setup, window):
     window=0 (full-tile masks, no dynamic slicing) must agree too."""
     ts = setup
     inp = _inputs(ts, 128)
-    ref = _v6(ts, inp, tile=128, chunk=64, block=64)
-    out = _v6(ts, inp, tile=128, chunk=64, block=64, window=window)
+    ref = _v6(ts, inp, tile=128, chunk=64, block=64, hybrid=False)
+    out = _v6(ts, inp, tile=128, chunk=64, block=64, window=window,
+              hybrid=False)
     np.testing.assert_array_equal(out, ref)
 
 
@@ -101,6 +121,6 @@ def test_supertile_dense_threshold0(setup, tmp_path_factory):
     ts.initialize(config)
     inp = _inputs(ts, 128)
     out5 = _v5(ts, inp, tile=64, chunk=64)
-    out6 = _v6(ts, inp, tile=128, chunk=64, block=64)
+    out6 = _v6(ts, inp, tile=128, chunk=64, block=64, hybrid=False)
     np.testing.assert_array_equal(out6[:, 3], out5[:, 3])
     np.testing.assert_allclose(out6[:, :3], out5[:, :3], atol=2e-7, rtol=0)
