@@ -58,7 +58,8 @@ class RealtimeRenderer:
     def __init__(self, model_defs, params, scene, config,
                  batch_size: int = 80_000,
                  buckets: Tuple[float, ...] = (0.125, 0.25, 0.5, 1.0),
-                 dtype=jnp.bfloat16, compaction: bool = True):
+                 dtype=jnp.bfloat16, compaction: bool = True,
+                 oracle_dtype="unset", nerf_dtype="unset"):
         self.oracle_def, self.nerf_def = model_defs[0], model_defs[1]
         self.config = config
         self.params = params
@@ -67,6 +68,10 @@ class RealtimeRenderer:
         self.max_samples = config.numRaymarchSamples[1]
         self.threshold = config.adaptiveSamplingThreshold
         self.dtype = dtype
+        # per-net precision overrides (tools/precision_study.py): bisect
+        # which MLP's bf16 rounding carries the kernel-vs-fp32 PSNR deficit
+        self.oracle_dtype = dtype if oracle_dtype == "unset" else oracle_dtype
+        self.nerf_dtype = dtype if nerf_dtype == "unset" else nerf_dtype
         self.compaction = compaction and self.threshold > 0.0
 
         args0 = [int(x) for x in config.posEncArgs[0].split('-')]
@@ -109,7 +114,7 @@ class RealtimeRenderer:
         """dirs: (B, 3) camera-space unit dirs. Returns ray geometry + the
         adaptive sample plan + live count."""
         sc = self.scene
-        dt = self.dtype
+        dt = self.oracle_dtype
         nds = dirs @ rotation.T
         center = jnp.asarray(sc.view_cell_center)
         origins = jnp.broadcast_to(pose, nds.shape)
@@ -157,7 +162,7 @@ class RealtimeRenderer:
         XLA's surrounding fusion, BENCH.md round 1) — the winning fusion is
         the whole-frame megakernel (ops/pallas/megakernel3.py), not a
         kernel for this one stage."""
-        return self.nerf_def.apply(params1, emb, dtype=self.dtype)
+        return self.nerf_def.apply(params1, emb, dtype=self.nerf_dtype)
 
     def _composite(self, restored, z_world, z_probs, mask):
         """Masked compositing with the oracle-density premultiply

@@ -218,21 +218,30 @@ def main():
                                                        prep_inputs)
         from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
 
+        from viewer import block_permutation
+
         mk_cfg = rt.config
         po = pack_oracle_weights(rt.oracle_def, p0, dtype=jnp.bfloat16)
         pn = pack_nerf_weights(rt.nerf_def, p1, dtype=jnp.bfloat16)
-        dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(directions),
+        # square-block ray order: tile-gated stages see coherent 16x16
+        # image blocks (viewer.block_permutation); the inverse gather back
+        # to scan order is timed as part of every frame
+        perm, inv = block_permutation(w, h, 256)
+        mk_dirs = directions[perm] if perm is not None else directions
+        inv_dev = jnp.asarray(inv) if perm is not None else None
+        dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(mk_dirs),
                                            jnp.zeros(3), jnp.eye(3))
         pose_rows = [jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
             jnp.asarray(p)) for p in poses]
+        unperm = jax.jit(lambda o: o[inv_dev] if inv_dev is not None else o)
 
         def time_kernel(mk):
             def mrun(n_frames):
                 t0 = time.perf_counter()
                 last = None
                 for f in range(n_frames):
-                    last = mk(dirs_pad, pose_rows[f % len(pose_rows)],
-                              rot_pad)
+                    last = unperm(mk(dirs_pad,
+                                     pose_rows[f % len(pose_rows)], rot_pad))
                 float(probe(last[:, :3]))
                 return time.perf_counter() - t0
 

@@ -129,3 +129,44 @@ def test_viewer_megakernel_renderer_wiring(setup):
     np.testing.assert_array_equal(np.asarray(counts).astype(int),
                                   np.asarray(mask).sum(axis=1))
     np.testing.assert_allclose(np.asarray(rgb), rgb_ref, atol=2e-4)
+
+
+def test_block_permutation_roundtrip():
+    import viewer as viewer_mod
+
+    perm, inv = viewer_mod.block_permutation(32, 48, 256)
+    assert perm is not None and perm.size == 32 * 48
+    assert np.array_equal(np.sort(perm), np.arange(32 * 48))
+    x = np.random.RandomState(0).rand(32 * 48, 4)
+    np.testing.assert_array_equal(x[perm][inv], x)
+    # each consecutive 256-ray tile is one 16x16 image block
+    rows, cols = perm[:256] // 32, perm[:256] % 32
+    assert rows.max() - rows.min() == 15 and cols.max() - cols.min() == 15
+    # non-divisible images fall back to scan order
+    assert viewer_mod.block_permutation(100, 30, 256) == (None, None)
+
+
+def test_block_order_output_invariant(setup):
+    """image_size= block reorder must return the SAME image in scan order
+    (the permutation is pure data movement around a per-ray kernel)."""
+    import viewer as viewer_mod
+
+    ts = setup
+    rt = RealtimeRenderer(ts.model_defs, ts.params, ts.scene, ts.config_file,
+                          batch_size=1024, dtype=None)
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:1024]  # 32x32 image at tile 256
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    plain = viewer_mod.build_megakernel_renderer(rt, ts.scene, dirs)
+    blocked = viewer_mod.build_megakernel_renderer(rt, ts.scene, dirs,
+                                                   image_size=(32, 32))
+    rgb_a, counts_a = plain(rt.params[0], rt.params[1],
+                            jnp.asarray(pose), jnp.asarray(rot), None)
+    rgb_b, counts_b = blocked(rt.params[0], rt.params[1],
+                              jnp.asarray(pose), jnp.asarray(rot), None)
+    np.testing.assert_array_equal(np.asarray(counts_a), np.asarray(counts_b))
+    # tile regrouping changes chunk batching -> ulp-level dot differences
+    np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b),
+                               atol=2e-7, rtol=0)

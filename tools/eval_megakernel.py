@@ -69,7 +69,7 @@ def main():
         mk_kw = dict(pack_dtype=jnp2.float32, mlp_precision="highest")
     render = build_megakernel_renderer(rt, scene, dirs,
                                        variant=args.variant, tile=args.tile,
-                                       **mk_kw)
+                                       image_size=(w, h), **mk_kw)
     rt32 = None
     if args.fp32_delta:
         rt32, _ = build_renderer_from_export(args.export_dir,

@@ -15,6 +15,7 @@ and optionally dumps frames (the BMP-dump path, neuralrenderer.cpp:184-222).
 
 import argparse
 import ast
+import math
 import os
 import sys
 import time
@@ -115,15 +116,52 @@ def build_renderer_from_export(model_dir, batch_size, dtype_str="bf16"):
     params[0] = load_tree(os.path.join(model_dir, "model0.weights"), params[0])
     params[1] = load_tree(os.path.join(model_dir, "model1.weights"), params[1])
 
-    dtype = jnp.bfloat16 if dtype_str == "bf16" else None
+    # "bf16" / "fp32" set both MLPs; "oracle32" / "nerf32" run just that
+    # net in fp32 (precision bisection, tools/precision_study.py)
+    per_net = {}
+    if dtype_str == "oracle32":
+        per_net = dict(oracle_dtype=None)
+    elif dtype_str == "nerf32":
+        per_net = dict(nerf_dtype=None)
+    dtype = None if dtype_str == "fp32" else jnp.bfloat16
     rt = RealtimeRenderer([oracle, nerf], params, scene, config,
-                          batch_size=batch_size, dtype=dtype)
+                          batch_size=batch_size, dtype=dtype, **per_net)
     return rt, scene
+
+
+def block_permutation(w, h, tile=256):
+    """Pixel permutation that makes each kernel ray-tile a square image
+    block instead of a thin row strip.
+
+    The megakernel's adaptive machinery is tile-gated (select rounds, z/p
+    slots, composite length all scale with the TILE-MAX keep count,
+    megakernel3.py): a 256-ray tile taken in scan order spans 2 thin rows
+    that cross every object on the scanline, while a 16x16 block usually
+    sits entirely on background or entirely on one surface.  This is the
+    same reason the CUDA viewer renders in square warp blocks
+    (adanerf_real_time_viewer render kernels launch over 2D thread
+    blocks).  The reorder is a STATIC host-side permutation of the ray
+    array — zero kernel cost; the inverse gather on the 128-lane output
+    rows costs ~0.4 ms/frame (BENCH.md round-1 gather measurements).
+
+    Returns (perm, inv) index arrays with perm.size == w*h, or (None,
+    None) when the image does not tile into the square block (callers
+    fall back to scan order).
+    """
+    side = int(math.isqrt(tile))
+    if side * side != tile or w % side or h % side:
+        return None, None
+    idx = np.arange(w * h, dtype=np.int32).reshape(h, w)
+    blocks = idx.reshape(h // side, side, w // side, side)
+    perm = blocks.transpose(0, 2, 1, 3).reshape(-1)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
 
 
 def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
                               pack_dtype=None, mlp_precision=None,
-                              **mk_kwargs):
+                              image_size=None, **mk_kwargs):
     """Frame renderer through the fused whole-frame Pallas kernel
     (ops/pallas/megakernel3.py) — the production analog of the viewer's
     single CUDA+TensorRT loop. Same (frame, n_acts) contract as
@@ -132,7 +170,11 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
     pack_dtype/mlp_precision are precision-diagnostic knobs
     (tools/eval_megakernel.py --mlp-f32): f32 weight packing + a
     'highest' default-matmul-precision build makes every in-kernel matmul
-    exact, isolating bf16 rounding from algorithmic differences."""
+    exact, isolating bf16 rounding from algorithmic differences.
+
+    image_size=(w, h) enables the square-block ray order
+    (block_permutation) so tile-gated stages see spatially-coherent
+    tiles; outputs are returned in the original scan order either way."""
     import jax.numpy as jnp
 
     from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
@@ -150,6 +192,13 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
     config = rt.config
 
     n_pix = dirs.shape[0]
+    inv_dev = None
+    if image_size is not None:
+        w_img, h_img = image_size
+        perm, inv = block_permutation(w_img, h_img, tile)
+        if perm is not None and n_pix == w_img * h_img:
+            dirs = dirs[perm]
+            inv_dev = jnp.asarray(inv)
     n_pad = ((n_pix + tile - 1) // tile) * tile
     dirs_padded = np.zeros((n_pad, 3), np.float32)
     dirs_padded[:n_pix] = dirs
@@ -181,6 +230,9 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
         rot_pad = jnp.zeros((128, 128), jnp.float32) \
             .at[:3, :3].set(jnp.asarray(rot).T)
         out = mk(dirs_pad, pose8, rot_pad)
+        if inv_dev is not None:
+            # one aligned 128-lane row gather back to scan order
+            out = out[:n_pix][inv_dev]
         return out[:n_pix, :3], out[:n_pix, 3]
 
     return render
@@ -251,7 +303,8 @@ def main(argv=None):
     capacity = None
     if args.megakernel:
         render = build_megakernel_renderer(rt, scene, dirs,
-                                           variant=args.megakernel)
+                                           variant=args.megakernel,
+                                           image_size=(w, h))
     elif rt.compaction and not args.dynamic:
         # probe live counts once, compile one fixed-capacity frame program
         # (the TRT optimization-profile pattern; ~1.5x faster than the
