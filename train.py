@@ -263,6 +263,11 @@ def main():
     # on single-process runs; recipe in adanerf_tpu/parallel/mesh.py:44-49)
     from adanerf_tpu.parallel.mesh import init_multi_host
     proc = init_multi_host()
+    # pay the per-process transfer-path init (first device->host readback
+    # costs 10-530s on the axon tunnel, DEVNOTES) HERE, not at the epoch-100
+    # loss log inside the hot loop where it reads as a training stall
+    import jax.numpy as _jnp
+    float(_jnp.zeros(()))
     config = Config.init()
     ts = TrainState()
     ts.initialize(config)
