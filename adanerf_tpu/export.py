@@ -35,6 +35,11 @@ def write_dataset_info(ts, out_dir):
         f.write("focal = " + str(info.view.focal) + "\n")
         f.write("camera_scale = " + str(info.view.camera_scale) + "\n")
         f.write("max_depth = " + str(info.depth_max) + "\n")
+        # training resolution: the NDC ray transform (ops/raymarch.py::
+        # ndc_rays) is resolution-dependent, so NDC exports must render at
+        # the trained W/H (the reference viewer reads it from its scene
+        # config the same way)
+        f.write("resolution = [" + str(info.w) + ", " + str(info.h) + "]\n")
 
 
 def export_artifacts(ts, out_dir=None, aot=True, batch_size=80_000):

@@ -33,7 +33,7 @@ import numpy as np
 
 from .ops.encoding import get_encoder
 from .ops.normalization import get_normalization
-from .ops.raymarch import ray_sphere_offset
+from .ops.raymarch import ndc_rays, ray_sphere_offset
 from .ops.samplers import adaptive_select, linearly_spaced_z
 
 
@@ -72,6 +72,16 @@ class RealtimeRenderer:
         # which MLP's bf16 rounding carries the kernel-vs-fp32 PSNR deficit
         self.oracle_dtype = dtype if oracle_dtype == "unset" else oracle_dtype
         self.nerf_dtype = dtype if nerf_dtype == "unset" else nerf_dtype
+
+        # NDC / forward-facing scenes (the CUDA viewer's
+        # rayMarchFromPosesAdaptiveNDC path, adaptive_cuda_kernels.cu:610-660):
+        # rays project into NDC space after the world-space oracle features;
+        # z stays the raw [0,1] NDC depth (the *NoDepthRange samplers)
+        self.use_ndc = getattr(config, "useNDC", False) is True
+        sampler1 = ""
+        if getattr(config, "rayMarchSampler", None):
+            sampler1 = config.rayMarchSampler[1] or ""
+        self.z_no_range = self.use_ndc or sampler1.endswith("NoDepthRange")
         self.compaction = compaction and self.threshold > 0.0
 
         args0 = [int(x) for x in config.posEncArgs[0].split('-')]
@@ -121,19 +131,32 @@ class RealtimeRenderer:
         distance = ray_sphere_offset(nds, origins, center, sc.view_cell_radius)
         proj = origins + nds * distance[:, None]
 
+        # oracle features are ALWAYS world-space (SpherePosDir projects onto
+        # the view-cell sphere even for NDC scenes; features.py:222-330) —
+        # only the shading rays move to NDC below
         x = jnp.concatenate([self.enc0_dir(nds), self.enc0_pos(proj)], axis=-1)
         oracle_out = self.oracle_def.apply(params0, x, dtype=dt)
+
+        if self.use_ndc:
+            o_sh, d_sh = ndc_rays(sc.h, sc.w, sc.focal, 1.0, origins, nds)
+        else:
+            o_sh, d_sh = proj, nds
+
+        def to_world(z):
+            if self.z_no_range:
+                return z
+            return sc.depth_transform.to_world(z, sc.depth_range_warped)
 
         B = dirs.shape[0]
         S = self.max_samples
         if self.threshold > 0.0:
             z_unit, z_probs, mask = adaptive_select(
                 oracle_out.astype(jnp.float32), S, self.threshold)
-            z_world = sc.depth_transform.to_world(z_unit, sc.depth_range_warped)
+            z_world = to_world(z_unit)
             n_act = jnp.sum(mask.astype(jnp.int32))
         else:
             z_unit = linearly_spaced_z(B, 0.001, 1.0, S)
-            z_world = sc.depth_transform.to_world(z_unit, sc.depth_range_warped)
+            z_world = to_world(z_unit)
             z_probs = jax.nn.sigmoid(oracle_out) if oracle_out.shape[-1] == S \
                 else jnp.ones_like(z_world)
             mask = jnp.ones(z_world.shape, bool)
@@ -143,7 +166,7 @@ class RealtimeRenderer:
         # the select (one aligned gather in the shade stage replaces four
         # narrow ones): [o(3) | d(3) | z(S) | z_probs(S) | 0...]
         packed = jnp.concatenate(
-            [proj, nds, jnp.where(mask, z_world, 0.0), z_probs,
+            [o_sh, d_sh, jnp.where(mask, z_world, 0.0), z_probs,
              jnp.zeros((B, self._pack_width - 6 - 2 * S), jnp.float32)],
             axis=-1)
         return packed, mask, n_act
@@ -221,7 +244,12 @@ class RealtimeRenderer:
         zp_flat = jnp.sum(rows[:, 6 + S:6 + 2 * S] * onehot_s, axis=1)
 
         pos = o + d * z_flat[:, None]
-        emb = self._encode_samples(pos, d)
+        d_enc = d
+        if self.use_ndc:
+            # NDC rays step with the UNnormalized d (positions in the NDC
+            # box) but encode the normalized direction (features.py:575-577)
+            d_enc = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        emb = self._encode_samples(pos, d_enc)
         # stop XLA from fusing the (transcendental-heavy) encoding into the
         # matmul tiles — recomputation inside the MLP costs ~6 ms/batch
         emb = jax.lax.optimization_barrier(emb)
@@ -274,7 +302,10 @@ class RealtimeRenderer:
         z_probs = packed[:, 6 + S:6 + 2 * S]
         z_safe = jnp.where(mask, z_world, 1.0)
         pos = origins[:, None, :] + nds[:, None, :] * z_safe[..., None]
-        dirs_exp = jnp.broadcast_to(nds[:, None, :], pos.shape)
+        d_enc = nds
+        if self.use_ndc:
+            d_enc = nds / jnp.linalg.norm(nds, axis=-1, keepdims=True)
+        dirs_exp = jnp.broadcast_to(d_enc[:, None, :], pos.shape)
         emb = self._encode_samples(pos.reshape(-1, 3), dirs_exp.reshape(-1, 3))
         emb = jax.lax.optimization_barrier(emb)
         raw = self._apply_nerf(params1, emb)

@@ -26,6 +26,24 @@ def adaptive_state(tmp_path_factory):
     return ts
 
 
+@pytest.fixture(scope="module")
+def ndc_state(tmp_path_factory):
+    """Adaptive cascade on an NDC (forward-facing) config."""
+    scene = make_scene(str(tmp_path_factory.mktemp("scene_rt_ndc")))
+    log = str(tmp_path_factory.mktemp("logs_rt_ndc"))
+    args = dense_config_args(scene, log, threshold=0.2)
+    args[args.index("FromClassifiedDepthAdaptive")] = \
+        "FromClassifiedDepthAdaptiveNoDepthRange"
+    k = args.index("InverseSqrtDistCentered")
+    args[args.index("InverseSqrtDistCentered", k + 1)] = "None"
+    args[args.index("log")] = "linear"
+    args += ["--useNDC"]
+    config = Config.init(argv=args)
+    ts = TrainState()
+    ts.initialize(config)
+    return ts
+
+
 class TestCompactionOps:
     def test_compact_roundtrip(self):
         rng = np.random.RandomState(0)
@@ -62,6 +80,21 @@ class TestRealtimeRenderer:
         np.testing.assert_allclose(img_rt, imgs[-1], atol=2e-5)
         assert stats.n_rays >= dataset.directions.shape[0]
         assert 1.0 <= stats.avg_samples_per_pixel <= 16.0
+
+    def test_ndc_matches_cascade(self, ndc_state):
+        """NDC path: realtime must reproduce the training-semantics NDC
+        renderer exactly (ndc_rays + raw [0,1] z + normalized-dir encode,
+        the rayMarchFromPosesAdaptiveNDC analog)."""
+        ts = ndc_state
+        rt = RealtimeRenderer(ts.model_defs, ts.params, ts.scene,
+                              ts.config_file, batch_size=128, dtype=None)
+        assert rt.use_ndc and rt.z_no_range
+        dataset = ts.test_dataset
+        img_rt = rt.render_frame(dataset.poses[0], dataset.rotations[0],
+                                 dataset.directions)
+        imgs, _ = render_rays_chunked(ts, dataset.poses[0],
+                                      dataset.rotations[0], 128)
+        np.testing.assert_allclose(img_rt, imgs[-1], atol=2e-5)
 
     def test_dense_fallback_matches(self, adaptive_state):
         ts = adaptive_state

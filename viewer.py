@@ -73,12 +73,17 @@ def build_renderer_from_export(model_dir, batch_size, dtype_str="bf16"):
         adaptiveSamplingThreshold=float(cfg.get("adaptiveSamplingThreshold", 0.0)),
         posEnc=cfg["posEnc"], posEncArgs=cfg["posEncArgs"],
         rayMarchNormalization=cfg.get("rayMarchNormalization"),
-        accumulationMult=cfg.get("accumulationMult"))
+        accumulationMult=cfg.get("accumulationMult"),
+        useNDC=cfg.get("useNDC") is True,
+        rayMarchSampler=cfg.get("rayMarchSampler"))
 
     depth_transform = get_depth_transform(cfg.get("depthTransform", "log"))
     depth_range = [float(x) for x in info["depth_range"]]
+    # training resolution (NDC exports need it for the resolution-dependent
+    # ndc_rays transform; absent in pre-round-3 exports -> 0, non-NDC only)
+    res = info.get("resolution", [0, 0])
     scene = SceneStatic(
-        w=0, h=0, fov=fov, focal=focal,
+        w=int(res[0]), h=int(res[1]), fov=fov, focal=focal,
         view_cell_center=tuple(float(x) for x in info["view_cell_center"]),
         view_cell_radius=float(np.linalg.norm(
             np.array(info["view_cell_size"], np.float64) / 2.0)),
@@ -189,6 +194,12 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
         raise SystemExit("--megakernel needs an adaptive model "
                          f"(threshold>0, <=16 samples; got thr={rt.threshold}"
                          f", S={S})")
+    if getattr(rt, "use_ndc", False):
+        # ValueError (not SystemExit) so bench.py falls back to the XLA
+        # pipeline path instead of silently timing wrong-geometry frames
+        raise ValueError("megakernel does not implement the NDC ray "
+                         "transform yet; NDC exports render through the "
+                         "XLA realtime pipeline")
     config = rt.config
 
     n_pix = dirs.shape[0]
