@@ -249,6 +249,9 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
     dirs_pad: (B, 128) rows [dir(3) | 0...] camera-space unit dirs.
     pose8: (1, 128) [pose(3) | 0]; rot_pad: (128, 128) with rot^T in [:3,:3].
     """
+    if getattr(config, "useNDC", False) is True:
+        raise ValueError("NDC scenes: only the v5 megakernel implements the "
+                         "NDC ray transform (megakernel3.py)")
     S = config.numRaymarchSamples[1]
     threshold = float(config.adaptiveSamplingThreshold)
     D = oracle_def.n_out

@@ -87,6 +87,23 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
     n_chunks = (S * tile) // chunk
     assert 8 * S <= LANE, "hi/lo split payload must fit one lane tile"
 
+    # NDC (forward-facing) scenes — the CUDA viewer's
+    # rayMarchFromPosesAdaptiveNDC analog (adaptive_cuda_kernels.cu:610-660):
+    # shading rays move to NDC space (oracle features stay world-space), z
+    # stays the raw [0,1] NDC depth (*NoDepthRange), the position encode is
+    # un-normalized (rayMarchNormalization[1] = None) and the dir encode
+    # uses the normalized NDC direction (pipeline/features.py:574-577).
+    use_ndc = getattr(config, "useNDC", False) is True
+    norm1 = None
+    if getattr(config, "rayMarchNormalization", None):
+        norm1 = config.rayMarchNormalization[1]
+    norm_none = norm1 in (None, "None", "none")
+    if use_ndc:
+        assert scene.w > 0 and scene.h > 0, \
+            "NDC export needs the training resolution in dataset_info"
+        ndc_wf = float(-2.0 * scene.focal / scene.w)
+        ndc_hf = float(-2.0 * scene.focal / scene.h)
+
     prec = _PRECISIONS[precision]
     pw_build = 8 if precision == "default" else 4  # scatter payload lanes/slot
     o_tables = lane_encode_tables([([0, 1, 2], fd0), ([3, 4, 5], fp0)])
@@ -136,6 +153,35 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                                  - radius * radius)
         dist = -u_dot + jnp.sqrt(jnp.maximum(delta, 0.0))
         proj3 = o3 + nds3 * dist
+
+        # NDC shading rays (ops/raymarch.py::ndc_rays with near=1, built
+        # from (T,1)/(T,3) lane ops; once per ray, ~25 narrow ops/tile)
+        if use_ndc:
+            mx = (lane3 == 0).astype(jnp.float32)
+            my = (lane3 == 1).astype(jnp.float32)
+            mz = (lane3 == 2).astype(jnp.float32)
+            oz0 = jnp.sum(o3 * mz, axis=1, keepdims=True)
+            dz = jnp.sum(nds3 * mz, axis=1, keepdims=True)
+            t_sh = -(1.0 + oz0) / dz
+            o_sh3 = o3 + t_sh * nds3
+            ox = jnp.sum(o_sh3 * mx, axis=1, keepdims=True)
+            oy = jnp.sum(o_sh3 * my, axis=1, keepdims=True)
+            inv_oz = 1.0 / jnp.sum(o_sh3 * mz, axis=1, keepdims=True)
+            dx = jnp.sum(nds3 * mx, axis=1, keepdims=True)
+            dy = jnp.sum(nds3 * my, axis=1, keepdims=True)
+            pack_o3 = (ndc_wf * ox * inv_oz) * mx \
+                + (ndc_hf * oy * inv_oz) * my + (1.0 + 2.0 * inv_oz) * mz
+            pack_d3 = (ndc_wf * (dx / dz - ox * inv_oz)) * mx \
+                + (ndc_hf * (dy / dz - oy * inv_oz)) * my \
+                + (-2.0 * inv_oz) * mz
+            # zero-padded tail rays have dz=0 -> inf/NaN here, which would
+            # poison the whole tile through the scatter matmul (NaN*0=NaN,
+            # so masking by multiply can't fix it — use where)
+            valid = jnp.sum(nds3 * nds3, axis=1, keepdims=True) > 0.5
+            pack_o3 = jnp.where(valid, pack_o3, 0.0)
+            pack_d3 = jnp.where(valid, pack_d3, 0.0)
+        else:
+            pack_o3, pack_d3 = proj3, nds3
 
         zero2 = jnp.zeros((T, 2), jnp.float32)
         coords_o = jnp.concatenate([nds3, proj3, zero2], axis=1)
@@ -229,7 +275,8 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 sel = (rank == (s + 1)).astype(jnp.float32)
                 bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
                 live = (n_per_col > s).astype(jnp.float32)
-                cols.append(transform.to_world((bin_s + 0.5) * cell, dr)
+                z_u = (bin_s + 0.5) * cell
+                cols.append((z_u if use_ndc else transform.to_world(z_u, dr))
                             * live)
             for s in range(n_slots):
                 sel = (rank == (s + 1)).astype(jnp.float32)
@@ -300,9 +347,9 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         #   lo half: [o_lo    | z_lo    |     cum_lo    | cd_lo  ]
         # 128*cum_hi stays bf16-exact (multiples of 128 up to 16*128 share
         # cum_hi's mantissa), so the sum reconstructs cum_excl directly.
-        o_hi, o_lo = split2(proj3)
+        o_hi, o_lo = split2(pack_o3)
         z_p = [split2(z) for z in z_cols]
-        d_hi, d_lo = split2(nds3)
+        d_hi, d_lo = split2(pack_d3)
         cum_hi = jnp.floor(cum_excl * (1.0 / 128.0))
         cum_lo = cum_excl - cum_hi * 128.0
         HW = 16 if (S + 7) <= 16 else 32
@@ -378,12 +425,22 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 z_sel = jnp.sum(zpieces * smask, axis=1, keepdims=True)
 
                 spos = co + cd * z_sel                           # (chunk, 3)
-                l = spos - center_row
-                norm = jnp.sqrt(jnp.sqrt(
-                    jnp.sum(l * l, axis=1, keepdims=True)))
-                inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
                 zero2c = jnp.zeros((chunk, 2), jnp.float32)
-                coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
+                if norm_none:
+                    cdir = cd
+                    if use_ndc:  # dir encode uses the normalized NDC dir;
+                        # dead trailing rows gather cd=0 -> guard the norm so
+                        # 0/0 NaNs can't ride the zero-one-hot scatter
+                        # (NaN*0 = NaN would poison acc_ref)
+                        cdir = cd / jnp.sqrt(jnp.maximum(
+                            jnp.sum(cd * cd, axis=1, keepdims=True), 1e-24))
+                    coords_n = jnp.concatenate([spos, cdir, zero2c], axis=1)
+                else:
+                    l = spos - center_row
+                    norm = jnp.sqrt(jnp.sqrt(
+                        jnp.sum(l * l, axis=1, keepdims=True)))
+                    inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
+                    coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
                 if no_encode:  # profiling hook: gather/scatter cost only
                     rgba = coords_n[:, 0:4]
                 elif no_shade:  # profiling hook: machinery w/o the MLP

@@ -61,6 +61,9 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
     megakernel3.make_megakernel_compact."""
+    if getattr(config, "useNDC", False) is True:
+        raise ValueError("NDC scenes: only the v5 megakernel implements the "
+                         "NDC ray transform (megakernel3.py)")
     S = config.numRaymarchSamples[1]
     threshold = float(config.adaptiveSamplingThreshold)
     D = oracle_def.n_out

@@ -220,9 +220,6 @@ def main():
 
         from viewer import block_permutation
 
-        if getattr(rt, "use_ndc", False):
-            raise ValueError("NDC export: megakernels lack the NDC ray "
-                             "transform; timing the XLA pipeline")
         mk_cfg = rt.config
         po = pack_oracle_weights(rt.oracle_def, p0, dtype=jnp.bfloat16)
         pn = pack_nerf_weights(rt.nerf_def, p1, dtype=jnp.bfloat16)

@@ -131,6 +131,45 @@ def test_viewer_megakernel_renderer_wiring(setup):
     np.testing.assert_allclose(np.asarray(rgb), rgb_ref, atol=2e-4)
 
 
+@pytest.fixture(scope="module")
+def ndc_setup(tmp_path_factory):
+    scene = make_scene(str(tmp_path_factory.mktemp("scene_mk3_ndc")))
+    log = str(tmp_path_factory.mktemp("logs_mk3_ndc"))
+    args = dense_config_args(scene, log, threshold=0.2)
+    args[args.index("FromClassifiedDepthAdaptive")] = \
+        "FromClassifiedDepthAdaptiveNoDepthRange"
+    k = args.index("InverseSqrtDistCentered")
+    args[args.index("InverseSqrtDistCentered", k + 1)] = "None"
+    args[args.index("log")] = "linear"
+    args += ["--useNDC"]
+    config = Config.init(argv=args)
+    ts = TrainState()
+    ts.initialize(config)
+    return ts
+
+
+def test_compact_ndc_matches_pipeline(ndc_setup):
+    """v5's in-kernel NDC ray transform (lane-packed ndc_rays + raw [0,1]
+    z + unnormalized pos encode + normalized dir encode) must reproduce the
+    NDC realtime pipeline."""
+    ts = ndc_setup
+    rt = RealtimeRenderer(ts.model_defs, ts.params, ts.scene, ts.config_file,
+                          batch_size=128, dtype=None)
+    assert rt.use_ndc
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:128]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_mk, counts_mk = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+
+    rgb_ref = rt.render_frame(pose, rot, dirs)
+    _pk, mask, _n = rt._oracle_fn(rt.params[0], jnp.asarray(pose),
+                                  jnp.asarray(rot), jnp.asarray(dirs))
+    np.testing.assert_array_equal(counts_mk, np.asarray(mask).sum(axis=1))
+    np.testing.assert_allclose(rgb_mk, rgb_ref, atol=2e-4)
+
+
 def test_block_permutation_roundtrip():
     import viewer as viewer_mod
 

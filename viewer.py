@@ -194,12 +194,11 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
         raise SystemExit("--megakernel needs an adaptive model "
                          f"(threshold>0, <=16 samples; got thr={rt.threshold}"
                          f", S={S})")
-    if getattr(rt, "use_ndc", False):
-        # ValueError (not SystemExit) so bench.py falls back to the XLA
-        # pipeline path instead of silently timing wrong-geometry frames
-        raise ValueError("megakernel does not implement the NDC ray "
-                         "transform yet; NDC exports render through the "
-                         "XLA realtime pipeline")
+    if getattr(rt, "use_ndc", False) and variant != "v5":
+        # ValueError (not SystemExit) so bench.py falls back to another
+        # path instead of silently timing wrong-geometry frames
+        raise ValueError("only the v5 megakernel implements the NDC ray "
+                         "transform (megakernel3.py); use variant='v5'")
     config = rt.config
 
     n_pix = dirs.shape[0]
