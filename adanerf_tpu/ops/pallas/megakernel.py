@@ -229,12 +229,19 @@ def _lane_encode(coords8, sel_ref, freq_ref, ident_ref, sin_ref, cos_ref):
     The coordinate-selection matmul must not round the COORDINATES to bf16
     (the TPU default): a 2^-9 relative position error is ~a radian of phase
     at the 2^9 frequency band (measured ~0.9 dB PSNR loss on a trained
-    scene). Two single-pass matmuls over a hi/lo coordinate split recover
-    ~17 mantissa bits (phase error ~2^-8 rad) at a third of HIGHEST's
-    6-pass cost; SEL is 0/1 so only the coordinate operand matters."""
+    scene). THREE single-pass matmuls over a hi/mid/lo coordinate split
+    recover ~26 mantissa bits — the residual ~2^-17 rad phase error is
+    invisible next to fp32's own sin rounding (a 2-piece split's ~2^-8 rad
+    was the largest single term in the kernel's 0.19 dB deficit vs the
+    fp32 pipeline; round-3 bisection). Still half of HIGHEST's 6-pass
+    cost, and the (T,8)x(8,128) matmuls are tiny next to the (T,128) sin;
+    SEL is 0/1 so only the coordinate operand matters."""
     c_hi = coords8.astype(jnp.bfloat16).astype(jnp.float32)
+    r = coords8 - c_hi
+    c_mid = r.astype(jnp.bfloat16).astype(jnp.float32)
     arg = (jnp.dot(c_hi, sel_ref[:], preferred_element_type=jnp.float32)
-           + jnp.dot(coords8 - c_hi, sel_ref[:],
+           + jnp.dot(c_mid, sel_ref[:], preferred_element_type=jnp.float32)
+           + jnp.dot(r - c_mid, sel_ref[:],
                      preferred_element_type=jnp.float32)) * freq_ref[:]
     shifted = arg + cos_ref[:] * jnp.float32(np.pi / 2)
     return ident_ref[:] * arg \

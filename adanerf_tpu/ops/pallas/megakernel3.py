@@ -331,33 +331,37 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         # (exact). Directions are unit vectors feeding the low-frequency dir
         # encode (<= 2^(fd-1) ~ 8): a 2^-9 rounding is phase-negligible, so
         # they stay single-lane.
-        def split2(v):
-            """hi/lo bf16-exact pieces (~17 mantissa bits through the
+        def split3(v):
+            """hi/mid/lo bf16-exact pieces (~26 mantissa bits through the
             single-pass bf16 gather). Positions/depths AND directions all
             ride split lanes: cd also builds spos = co + cd*z, where a
-            2^-9 single-lane dir error would be ~radian-scale phase at the
-            top positional band; 2^-17 keeps phase error ~2^-8 rad, the
-            same class as the hi/lo encode matmul downstream."""
+            single-lane rounding would be radian-scale phase at the top
+            positional band. A 2-piece split's residual 2^-17 geometry
+            error still left ~2^-8 rad of top-band phase — the largest
+            term in the kernel's round-2 0.19 dB deficit vs fp32; the
+            third piece pushes it to ~2^-17 rad (round-3 bisection)."""
             hi = v.astype(jnp.bfloat16).astype(jnp.float32)
-            return hi, v - hi
+            r = v - hi
+            mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+            return hi, mid, r - mid
 
-        # pieces ride CONTIGUOUS half-width lane groups so the whole
-        # recombination after the gather is ONE (chunk, HW) add:
-        #   hi half: [o_hi(3) | z_hi(S) | 128*cum_hi(1) | cd_hi(3)]
-        #   lo half: [o_lo    | z_lo    |     cum_lo    | cd_lo  ]
-        # 128*cum_hi stays bf16-exact (multiples of 128 up to 16*128 share
-        # cum_hi's mantissa), so the sum reconstructs cum_excl directly.
-        o_hi, o_lo = split2(pack_o3)
-        z_p = [split2(z) for z in z_cols]
-        d_hi, d_lo = split2(pack_d3)
+        # pieces ride CONTIGUOUS HW-wide lane groups so the whole
+        # recombination after the gather is ONE (chunk, HW) 3-way add:
+        #   piece p: [o_p(3) | z_p(S) | cum_p(1) | cd_p(3) | 0...]
+        # cum splits exactly in TWO pieces (hi*128 + lo, both < 128 and
+        # bf16-exact; multiples of 128 up to 16*128 share cum_hi's
+        # mantissa), so its third lane is zero.
+        o_3 = split3(pack_o3)
+        z_3 = [split3(z) for z in z_cols]
+        d_3 = split3(pack_d3)
         cum_hi = jnp.floor(cum_excl * (1.0 / 128.0))
-        cum_lo = cum_excl - cum_hi * 128.0
+        cum_p = (cum_hi * 128.0, cum_excl - cum_hi * 128.0,
+                 jnp.zeros((T, 1), jnp.float32))
         HW = 16 if (S + 7) <= 16 else 32
-        V = 2 * HW
         padh = jnp.zeros((T, HW - (S + 7)), jnp.float32)
         vals = jnp.concatenate(
-            [o_hi] + [p[0] for p in z_p] + [cum_hi * 128.0, d_hi, padh,
-             o_lo] + [p[1] for p in z_p] + [cum_lo, d_lo, padh], axis=1)
+            sum(([o_3[p]] + [z[p] for z in z_3] + [cum_p[p], d_3[p], padh]
+                 for p in range(3)), []), axis=1)
 
         use_split = precision == "default"
         pw = 8 if use_split else 4
@@ -414,7 +418,8 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                                 precision=prec),
                         preferred_element_type=jnp.float32, precision=prec)
                     return
-                g = cvals[:, 0:HW] + cvals[:, HW:2 * HW]  # hi+lo recombine
+                g = cvals[:, 0:HW] + cvals[:, HW:2 * HW] \
+                    + cvals[:, 2 * HW:3 * HW]  # hi+mid+lo recombine
                 co = g[:, 0:3]                                   # (chunk, 3)
                 zpieces = g[:, 3:3 + S]
                 ccum = g[:, 3 + S:4 + S]
