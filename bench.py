@@ -124,14 +124,18 @@ def main():
     cli = ap.parse_args()
 
     # default workload: the in-repo trained adaptive model (S=8, thr 0.2,
-    # trained by the demo recipe in BENCH.md) so FPS and PSNR are measured
-    # on the SAME model; falls back to calibrated random weights when the
-    # export is absent or --synthetic is passed.
-    default_export = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "demo", "trained_sphere_export")
-    if cli.export_dir is None and not cli.synthetic \
-            and os.path.isdir(default_export):
-        cli.export_dir = default_export
+    # trained by the demo recipes in BENCH.md) so FPS and PSNR are measured
+    # on the SAME model. The multi-object scene (oracle keeps ~2-3
+    # samples/px — the paper-class representative workload) outranks the
+    # single-sphere scene (~1.0 smp/px best case); calibrated random
+    # weights remain the fallback / --synthetic path.
+    here = os.path.dirname(os.path.abspath(__file__))
+    if cli.export_dir is None and not cli.synthetic:
+        for name in ("trained_mscene_export", "trained_sphere_export"):
+            cand = os.path.join(here, "demo", name)
+            if os.path.isdir(cand):
+                cli.export_dir = cand
+                break
 
     # pay the per-process transfer-path init on a trivial constant
     t0 = time.perf_counter()
