@@ -56,7 +56,7 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
                               dyn_loop: bool = True,
                               pipelined: bool = True,
                               no_shade: bool = False, no_encode: bool = False,
-                              hybrid: bool = True, hybrid_beta: float = 2.2,
+                              hybrid: bool = False, hybrid_beta: float = 2.2,
                               stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
@@ -284,6 +284,9 @@ def make_megakernel_supertile(oracle_def, nerf_def, scene, config,
         # gather, no per-sample machinery) beats the compaction loop, whose
         # measured cost is ~hybrid_beta x the pure-MLP time of its live
         # samples. Chosen per tile: dense iff m*T <= hybrid_beta*sum(c).
+        # DEFAULT OFF: measured +40 ms/frame even when the dense branch is
+        # never taken — the extra gated region poisons Mosaic's schedule
+        # (round-3; exact-match tests keep both paths honest).
         hybrid_on = hybrid and not stop_after and not (no_shade or no_encode)
         zero2t = jnp.zeros((T, 2), jnp.float32)
 
