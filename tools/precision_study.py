@@ -90,9 +90,15 @@ def main():
     out = {}
     for v in variants:
         a = np.stack(imgs[v])
-        out[v] = {"psnr_gt": psnr(a, np.stack(gts)),
-                  "psnr_vs_fp32": psnr(a, np.stack(imgs["fp32"]))}
+        out[v] = {
+            "psnr_gt": psnr(a, np.stack(gts)),
+            # per-image mean — the SAME aggregate tools/eval_megakernel.py
+            # reports, so kernel rows are directly comparable
+            "psnr_gt_mean": float(np.mean(
+                [psnr(i, g) for i, g in zip(imgs[v], gts)])),
+            "psnr_vs_fp32": psnr(a, np.stack(imgs["fp32"]))}
         print(f"{v:9s} psnr_gt={out[v]['psnr_gt']:.3f} "
+              f"psnr_gt_mean={out[v]['psnr_gt_mean']:.3f} "
               f"psnr_vs_fp32={out[v]['psnr_vs_fp32']:.3f}", flush=True)
     print(json.dumps(out))
 
