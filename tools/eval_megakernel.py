@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--mlp-f32", action="store_true",
                     help="diagnostic: f32 weight packing + highest matmul "
                          "precision (all in-kernel matmuls exact)")
+    ap.add_argument("--pack-f32", action="store_true",
+                    help="diagnostic: f32 weight packing at DEFAULT matmul "
+                         "precision (MXU still rounds inputs to bf16 — "
+                         "isolates storage rounding from input rounding)")
     args = ap.parse_args()
 
     from adanerf_tpu.platform import apply_platform_env
@@ -67,6 +71,9 @@ def main():
     if args.mlp_f32:
         import jax.numpy as jnp2
         mk_kw = dict(pack_dtype=jnp2.float32, mlp_precision="highest")
+    elif args.pack_f32:
+        import jax.numpy as jnp2
+        mk_kw = dict(pack_dtype=jnp2.float32)
     render = build_megakernel_renderer(rt, scene, dirs,
                                        variant=args.variant, tile=args.tile,
                                        image_size=(w, h), **mk_kw)
