@@ -118,43 +118,51 @@ def pack_oracle_weights(oracle_def, params, dtype=jnp.bfloat16):
     return packed
 
 
-def _oracle_mlp(w, x, depth):
-    h = jnp.dot(x, w["w0"][:], preferred_element_type=jnp.float32) + w["b0"][:]
-    h = jax.nn.relu(h)
+def _mm(h, wref, dtype, split):
+    """One MLP matmul. split=True runs f32 activations through TWO
+    single-pass matmuls over a hi/lo bf16 decomposition (~17 activation
+    mantissa bits); weight rounding stays single-piece — measured at only
+    0.023 dB (tools/precision_study.py), while ACTIVATION rounding carried
+    the kernel's round-2 PSNR deficit vs the fp32 XLA path (which keeps
+    f32 activations between layers)."""
+    if split and dtype != jnp.float32:
+        hi = h.astype(dtype)
+        lo = (h - hi.astype(jnp.float32)).astype(dtype)
+        return jnp.dot(hi, wref[:], preferred_element_type=jnp.float32) \
+            + jnp.dot(lo, wref[:], preferred_element_type=jnp.float32)
+    return jnp.dot(h.astype(dtype), wref[:],
+                   preferred_element_type=jnp.float32)
+
+
+def _oracle_mlp(w, x, depth, split=False):
+    """x: (N, in_pad) f32 encoded rows; returns (N, n_out) f32 logits."""
     dtype = w["w0"].dtype
+    h = _mm(x, w["w0"], dtype, split) + w["b0"][:]
+    h = jax.nn.relu(h)
     for i in range(1, depth):
-        h = jnp.dot(h.astype(dtype), w[f"w{i}"][:],
-                    preferred_element_type=jnp.float32) + w[f"b{i}"][:]
+        h = _mm(h, w[f"w{i}"], dtype, split) + w[f"b{i}"][:]
         if i + 1 < depth:
             h = jax.nn.relu(h)
     return h
 
 
-def _nerf_mlp(w, x, nerf_def):
-    """x: (N, in_pad) bf16 [pos | dirs | 0]; returns (N, 4ish) f32 raw."""
+def _nerf_mlp(w, x, nerf_def, split=False):
+    """x: (N, in_pad) f32 [pos | dirs | 0]; returns (N, 4ish) f32 raw."""
     dtype = w["w0"].dtype
     skips = set(nerf_def.skips)
-    h = jnp.dot(x, w["w0"][:], preferred_element_type=jnp.float32) + w["b0"][:]
+    h = _mm(x, w["w0"], dtype, split) + w["b0"][:]
     h = jax.nn.relu(h)
     for i in range(1, nerf_def.depth):
-        hi = jnp.dot(h.astype(dtype), w[f"wh{i}"][:],
-                     preferred_element_type=jnp.float32)
+        hi = _mm(h, w[f"wh{i}"], dtype, split)
         if (i - 1) in skips:
-            hi = hi + jnp.dot(x, w[f"wx{i}"][:],
-                              preferred_element_type=jnp.float32)
+            hi = hi + _mm(x, w[f"wx{i}"], dtype, split)
         h = jax.nn.relu(hi + w[f"b{i}"][:])
-    hb = h.astype(dtype)
-    alpha = jnp.dot(hb, w["wa"][:], preferred_element_type=jnp.float32) \
-        + w["ba"][:]
-    feat = jnp.dot(hb, w["wf"][:], preferred_element_type=jnp.float32) \
-        + w["bf"][:]
-    hv = jnp.dot(feat.astype(dtype), w["wv_f"][:],
-                 preferred_element_type=jnp.float32) \
-        + jnp.dot(x, w["wv_d"][:], preferred_element_type=jnp.float32) \
-        + w["bv"][:]
+    alpha = _mm(h, w["wa"], dtype, split) + w["ba"][:]
+    feat = _mm(h, w["wf"], dtype, split) + w["bf"][:]
+    hv = _mm(feat, w["wv_f"], dtype, split) \
+        + _mm(x, w["wv_d"], dtype, split) + w["bv"][:]
     hv = jax.nn.relu(hv)
-    rgb = jnp.dot(hv.astype(dtype), w["wrgb"][:],
-                  preferred_element_type=jnp.float32) + w["brgb"][:]
+    rgb = _mm(hv, w["wrgb"], dtype, split) + w["brgb"][:]
     return rgb, alpha
 
 
@@ -249,12 +257,14 @@ def _lane_encode(coords8, sel_ref, freq_ref, ident_ref, sin_ref, cos_ref):
 
 
 def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
-                    interpret: bool = False):
+                    interpret: bool = False, oracle_split: bool = False,
+                    nerf_split: bool = False):
     """Build fn(packed_oracle, packed_nerf, pose8, rot_pad, dirs_pad) ->
     (rgb (B, 128 [rgb|count]),) fused frame pipeline.
 
     dirs_pad: (B, 128) rows [dir(3) | 0...] camera-space unit dirs.
     pose8: (1, 128) [pose(3) | 0]; rot_pad: (128, 128) with rot^T in [:3,:3].
+    oracle_split/nerf_split: hi/lo-split MLP activations (see _mm).
     """
     if getattr(config, "useNDC", False) is True:
         raise ValueError("NDC scenes: only the v5 megakernel implements the "
@@ -331,8 +341,8 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
         coords_o = jnp.concatenate([ndx, ndy, ndz, prx, pry, prz, zero2],
                                    axis=1)
         x0 = _lane_encode(coords_o, *ot)
-        oracle_out = _oracle_mlp(ow, x0.astype(ow["w0"].dtype),
-                                 oracle_def.depth)[:, :D]
+        oracle_out = _oracle_mlp(ow, x0, oracle_def.depth,
+                                 split=oracle_split)[:, :D]
 
         # adaptive select (threshold/top-S, bin order) — same selection semantics as ops.samplers.adaptive_select
         d = oracle_out
@@ -396,8 +406,8 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
             xs.append(_lane_encode(coords_n, *nt))
 
         x_all = jnp.concatenate(xs, axis=0)          # (S*T, 128)
-        rgb_raw, alpha_raw = _nerf_mlp(nw, x_all.astype(nw["w0"].dtype),
-                                       nerf_def)
+        rgb_raw, alpha_raw = _nerf_mlp(nw, x_all, nerf_def,
+                                       split=nerf_split)
 
         # streaming front-to-back composite over the slot blocks, rgba
         # lane-packed: one sigmoid per slot over a (T, 4) slice instead of

@@ -67,6 +67,8 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             tile: int = 256, chunk: int = 256,
                             interpret: bool = False, precision: str = "default",
                             no_shade: bool = False, no_encode: bool = False,
+                            oracle_split: bool = False,
+                            nerf_split: bool = False,
                             stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
@@ -186,7 +188,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         zero2 = jnp.zeros((T, 2), jnp.float32)
         coords_o = jnp.concatenate([nds3, proj3, zero2], axis=1)
         x0 = _lane_encode(coords_o, *ot)
-        d = _oracle_mlp(ow, x0.astype(ow["w0"].dtype), oracle_def.depth)[:, :D]
+        d = _oracle_mlp(ow, x0, oracle_def.depth, split=oracle_split)[:, :D]
 
         if stop_after == "oracle":  # profiling hook: ray setup + oracle MLP
             out_ref[:] = d[:, :LANE] if D >= LANE else jnp.concatenate(
@@ -452,8 +454,8 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                     rgba = _lane_encode(coords_n, *nt)[:, 0:4]
                 else:
                     x1 = _lane_encode(coords_n, *nt)
-                    rgb_raw, alpha_raw = _nerf_mlp(
-                        nw, x1.astype(nw["w0"].dtype), nerf_def)
+                    rgb_raw, alpha_raw = _nerf_mlp(nw, x1, nerf_def,
+                                                   split=nerf_split)
                     rgba = jnp.concatenate(
                         [rgb_raw[:, 0:3], alpha_raw[:, 0:1]],
                         axis=1)                                  # (chunk, 4)

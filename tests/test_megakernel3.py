@@ -209,3 +209,54 @@ def test_block_order_output_invariant(setup):
     # tile regrouping changes chunk batching -> ulp-level dot differences
     np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b),
                                atol=2e-7, rtol=0)
+
+
+def test_act_split_f32_identity(setup):
+    """With f32 packing the hi/lo activation split is a no-op by
+    construction (_mm takes the plain-dot path) — outputs must be
+    bit-identical to the non-split kernel."""
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:64]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+    rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                           oracle_split=True, nerf_split=True)
+    np.testing.assert_array_equal(counts_a, counts_b)
+    np.testing.assert_array_equal(rgb_a, rgb_b)
+
+
+def test_act_split_recovers_activation_bits():
+    """_mm(split=True) must remove (nearly all of) the ACTIVATION rounding:
+    against an f32-weight reference, the split path's residual is weight
+    rounding only, and the activation-rounding part it eliminates dominates
+    the plain path's error by >5x on generic data."""
+    from adanerf_tpu.ops.pallas.megakernel import _mm
+
+    class R:  # minimal ref-like wrapper (kernel code indexes with [:])
+        def __init__(self, a):
+            self.a = a
+            self.dtype = a.dtype
+
+        def __getitem__(self, s):
+            return self.a[s]
+
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.normal(size=(64, 128)).astype(np.float32))
+    w32 = rng.normal(size=(128, 128)).astype(np.float32)
+    w16 = jnp.asarray(w32).astype(jnp.bfloat16)
+    # f32 weights + f32 activations, same accumulate order
+    ref = np.asarray(_mm(h, R(jnp.asarray(w32)), jnp.float32, False))
+    # isolate ACTIVATION rounding: same bf16 weights in both paths
+    ref16w = np.asarray(_mm(
+        h, R(jnp.asarray(w16).astype(jnp.float32)), jnp.float32, False))
+    plain = np.asarray(_mm(h, R(w16), jnp.bfloat16, False))
+    split = np.asarray(_mm(h, R(w16), jnp.bfloat16, True))
+    act_err_plain = float(np.abs(plain - ref16w).mean())
+    act_err_split = float(np.abs(split - ref16w).mean())
+    assert act_err_split < act_err_plain / 5, (act_err_split, act_err_plain)
+    # and end-to-end (weight rounding included) it must not get worse
+    assert float(np.abs(split - ref).mean()) \
+        <= float(np.abs(plain - ref).mean())

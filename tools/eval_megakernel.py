@@ -36,6 +36,8 @@ def main():
                     help="also render through the fp32 XLA chunked pipeline "
                          "and report the kernel-vs-fp32 PSNR delta")
     ap.add_argument("--variant", default="v5", help="kernel variant (v3/v5/v6)")
+    ap.add_argument("--n-frames", type=int, default=0,
+                    help="limit to the first N frames (0 = all)")
     ap.add_argument("--tile", type=int, default=256)
     ap.add_argument("--mlp-f32", action="store_true",
                     help="diagnostic: f32 weight packing + highest matmul "
@@ -44,6 +46,10 @@ def main():
                     help="diagnostic: f32 weight packing at DEFAULT matmul "
                          "precision (MXU still rounds inputs to bf16 — "
                          "isolates storage rounding from input rounding)")
+    ap.add_argument("--oracle-split", action="store_true",
+                    help="hi/lo-split oracle-MLP activations (2-pass)")
+    ap.add_argument("--nerf-split", action="store_true",
+                    help="hi/lo-split shading-MLP activations (2-pass)")
     args = ap.parse_args()
 
     from adanerf_tpu.platform import apply_platform_env
@@ -61,6 +67,8 @@ def main():
     with open(os.path.join(args.scene_dir,
                            f"transforms_{args.set}.json")) as f:
         frames = json.load(f)["frames"]
+    if args.n_frames:
+        frames = frames[:args.n_frames]
 
     rt, scene = build_renderer_from_export(args.export_dir, batch_size=80_000)
     focal = 0.5 * w / np.tan(0.5 * scene.fov)
@@ -74,6 +82,10 @@ def main():
     elif args.pack_f32:
         import jax.numpy as jnp2
         mk_kw = dict(pack_dtype=jnp2.float32)
+    if args.oracle_split:
+        mk_kw["oracle_split"] = True
+    if args.nerf_split:
+        mk_kw["nerf_split"] = True
     render = build_megakernel_renderer(rt, scene, dirs,
                                        variant=args.variant, tile=args.tile,
                                        image_size=(w, h), **mk_kw)
