@@ -377,8 +377,15 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                                        (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
-        cum_excl_row = rowize(cum_excl)                          # (1, T)
-        cum_incl_row = rowize(cum_incl)
+        # the offsets run up to S*T (= 2048 at production shapes) but a
+        # default-precision Mosaic dot rounds its INPUTS to bf16 — exact
+        # only through 256. Rowizing the <128 hi/lo pieces (cum_p, computed
+        # above for the gather) keeps the one-hot row boundaries exact;
+        # a single rounded boundary scatters samples to the wrong rays
+        # (measured: 23 dB kernel-vs-fp32 agreement on a trained scene with
+        # ~1.3 samples/px — every content tile past cum=256 corrupted).
+        cum_excl_row = rowize(cum_p[0]) + rowize(cum_p[1])       # (1, T)
+        cum_incl_row = cum_excl_row + rowize(c)
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (1, S), 1).astype(jnp.float32)            # (1, S)
 
