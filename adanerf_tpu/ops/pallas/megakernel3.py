@@ -69,10 +69,24 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             no_shade: bool = False, no_encode: bool = False,
                             oracle_split: bool = False,
                             nerf_split: bool = False,
+                            chunk_mults=None,
                             stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
-    megakernel.make_megakernel."""
+    megakernel.make_megakernel.
+
+    chunk_mults=None (v5): the back half is a static unroll of
+    ``S*tile/chunk`` gated chunk regions; Mosaic schedules every region even
+    when untaken, and each live chunk re-runs ~20 narrow geometry ops.
+
+    chunk_mults=(1,2,3,...) (v7): ONE capacity-gated region shades the whole
+    tile's live samples in a single batch. The capacity is the smallest
+    allowed multiple of ``chunk`` >= the tile's live total, so exactly one
+    region executes per tile: one one-hot build, one gather matmul, one
+    lane-packed geometry/encode block, ONE (cap, 128) shading-MLP chain and
+    one scatter matmul — MXU batches grow with the workload instead of the
+    narrow machinery re-running per chunk. Numerics are identical to v5
+    (each compact row still gathers exactly one ray's values)."""
     S = config.numRaymarchSamples[1]
     threshold = float(config.adaptiveSamplingThreshold)
     D = oracle_def.n_out
@@ -389,13 +403,6 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (1, S), 1).astype(jnp.float32)            # (1, S)
 
-        # loop-invariant pieces hoisted out of the chunk loop
-        jrow_base = jax.lax.broadcasted_iota(
-            jnp.int32, (chunk, T), 0).astype(jnp.float32)
-        jcolT_base = jax.lax.broadcasted_iota(
-            jnp.int32, (T, chunk), 1).astype(jnp.float32)
-        jcol_base = jax.lax.broadcasted_iota(
-            jnp.int32, (chunk, 1), 0).astype(jnp.float32)
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
         center_row = jnp.where(
             lane3 == 0, jnp.float32(center[0]),
@@ -404,81 +411,117 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         tile_pw = tile_pw_ref[:]
         expand_s = expand_s_ref[:]
 
-        for k in range(n_chunks):
-            @pl.when(jnp.float32(k * chunk) < total)
-            def _(k=k):
-                # ray-assignment one-hots for this chunk's rows; lane-packed
-                # compares only — no transposes
-                jrow = jrow_base + jnp.float32(k * chunk)
-                onehot = ((jrow >= cum_excl_row)
-                          & (jrow < cum_incl_row)).astype(jnp.float32)
-                jcolT = jcolT_base + jnp.float32(k * chunk)
-                onehotT = ((jcolT >= cum_excl)
-                           & (jcolT < cum_incl)).astype(jnp.float32)
-                cvals = jnp.dot(onehot, vals,
-                                preferred_element_type=jnp.float32,
-                                precision=prec)                  # (chunk, V)
-                if stop_after == "minimal":  # profiling hook: one-hots +
-                    # gather + scatter only (no mid machinery/encode/MLP)
-                    acc_ref[:, :] += jnp.dot(
-                        onehotT,
-                        jnp.dot(cvals[:, 0:pw], tile_pw,
-                                preferred_element_type=jnp.float32,
-                                precision=prec),
-                        preferred_element_type=jnp.float32, precision=prec)
-                    return
-                g = cvals[:, 0:HW] + cvals[:, HW:2 * HW] \
-                    + cvals[:, 2 * HW:3 * HW]  # hi+mid+lo recombine
-                co = g[:, 0:3]                                   # (chunk, 3)
-                zpieces = g[:, 3:3 + S]
-                ccum = g[:, 3 + S:4 + S]
-                cd = g[:, 4 + S:7 + S]
-                jcol = jcol_base + jnp.float32(k * chunk)
-                s_j = jcol - ccum                                # (chunk, 1)
-                smask = (s_j == slot_iota).astype(jnp.float32)   # (chunk, S)
-                z_sel = jnp.sum(zpieces * smask, axis=1, keepdims=True)
+        def shade_rows(nrows, off, accumulate):
+            """Gather/shade/scatter compact rows [off, off+nrows) of the
+            tile's virtual sample batch. v5 calls it per chunk (accumulate
+            into acc_ref); v7 calls it once at the gated capacity (plain
+            store). Numerics are row-local, so both orders are identical."""
+            def put(p):
+                if accumulate:
+                    acc_ref[:, :] += p
+                else:
+                    acc_ref[:, :] = p
 
-                spos = co + cd * z_sel                           # (chunk, 3)
-                zero2c = jnp.zeros((chunk, 2), jnp.float32)
-                if norm_none:
-                    cdir = cd
-                    if use_ndc:  # dir encode uses the normalized NDC dir;
-                        # dead trailing rows gather cd=0 -> guard the norm so
-                        # 0/0 NaNs can't ride the zero-one-hot scatter
-                        # (NaN*0 = NaN would poison acc_ref)
-                        cdir = cd / jnp.sqrt(jnp.maximum(
-                            jnp.sum(cd * cd, axis=1, keepdims=True), 1e-24))
-                    coords_n = jnp.concatenate([spos, cdir, zero2c], axis=1)
-                else:
-                    l = spos - center_row
-                    norm = jnp.sqrt(jnp.sqrt(
-                        jnp.sum(l * l, axis=1, keepdims=True)))
-                    inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
-                    coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
-                if no_encode:  # profiling hook: gather/scatter cost only
-                    rgba = coords_n[:, 0:4]
-                elif no_shade:  # profiling hook: machinery w/o the MLP
-                    rgba = _lane_encode(coords_n, *nt)[:, 0:4]
-                else:
-                    x1 = _lane_encode(coords_n, *nt)
-                    rgb_raw, alpha_raw = _nerf_mlp(nw, x1, nerf_def,
-                                                   split=nerf_split)
-                    rgba = jnp.concatenate(
-                        [rgb_raw[:, 0:3], alpha_raw[:, 0:1]],
-                        axis=1)                                  # (chunk, 4)
-                # raw rgba scatters back with the same hi/lo split (the
-                # residual rides 4 extra lanes; recombined in the composite)
-                if use_split:
-                    rg_hi = rgba.astype(jnp.bfloat16).astype(jnp.float32)
-                    rgba = jnp.concatenate([rg_hi, rgba - rg_hi], axis=1)
-                payload = jnp.dot(rgba, tile_pw,
-                                  preferred_element_type=jnp.float32,
-                                  precision=prec) \
-                    * jnp.dot(smask, expand_s,
-                              preferred_element_type=jnp.float32)
-                acc_ref[:, :] += jnp.dot(
-                    onehotT, payload, preferred_element_type=jnp.float32,
-                    precision=prec)                              # (T, pw*S)
+            # ray-assignment one-hots for these rows; lane-packed compares
+            # only — no transposes. Row indices are f32-exact ints (< 2^24).
+            jrow = jax.lax.broadcasted_iota(
+                jnp.int32, (nrows, T), 0).astype(jnp.float32) + jnp.float32(off)
+            onehot = ((jrow >= cum_excl_row)
+                      & (jrow < cum_incl_row)).astype(jnp.float32)
+            jcolT = jax.lax.broadcasted_iota(
+                jnp.int32, (T, nrows), 1).astype(jnp.float32) + jnp.float32(off)
+            onehotT = ((jcolT >= cum_excl)
+                       & (jcolT < cum_incl)).astype(jnp.float32)
+            cvals = jnp.dot(onehot, vals,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)                  # (nrows, V)
+            if stop_after == "minimal":  # profiling hook: one-hots +
+                # gather + scatter only (no mid machinery/encode/MLP)
+                put(jnp.dot(
+                    onehotT,
+                    jnp.dot(cvals[:, 0:pw], tile_pw,
+                            preferred_element_type=jnp.float32,
+                            precision=prec),
+                    preferred_element_type=jnp.float32, precision=prec))
+                return
+            g = cvals[:, 0:HW] + cvals[:, HW:2 * HW] \
+                + cvals[:, 2 * HW:3 * HW]  # hi+mid+lo recombine
+            co = g[:, 0:3]                                   # (nrows, 3)
+            zpieces = g[:, 3:3 + S]
+            ccum = g[:, 3 + S:4 + S]
+            cd = g[:, 4 + S:7 + S]
+            jcol = jax.lax.broadcasted_iota(
+                jnp.int32, (nrows, 1), 0).astype(jnp.float32) + jnp.float32(off)
+            s_j = jcol - ccum                                # (nrows, 1)
+            smask = (s_j == slot_iota).astype(jnp.float32)   # (nrows, S)
+            z_sel = jnp.sum(zpieces * smask, axis=1, keepdims=True)
+
+            spos = co + cd * z_sel                           # (nrows, 3)
+            zero2c = jnp.zeros((nrows, 2), jnp.float32)
+            if norm_none:
+                cdir = cd
+                if use_ndc:  # dir encode uses the normalized NDC dir;
+                    # dead trailing rows gather cd=0 -> guard the norm so
+                    # 0/0 NaNs can't ride the zero-one-hot scatter
+                    # (NaN*0 = NaN would poison acc_ref)
+                    cdir = cd / jnp.sqrt(jnp.maximum(
+                        jnp.sum(cd * cd, axis=1, keepdims=True), 1e-24))
+                coords_n = jnp.concatenate([spos, cdir, zero2c], axis=1)
+            else:
+                l = spos - center_row
+                norm = jnp.sqrt(jnp.sqrt(
+                    jnp.sum(l * l, axis=1, keepdims=True)))
+                inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
+                coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
+            if no_encode:  # profiling hook: gather/scatter cost only
+                rgba = coords_n[:, 0:4]
+            elif no_shade:  # profiling hook: machinery w/o the MLP
+                rgba = _lane_encode(coords_n, *nt)[:, 0:4]
+            else:
+                x1 = _lane_encode(coords_n, *nt)
+                rgb_raw, alpha_raw = _nerf_mlp(nw, x1, nerf_def,
+                                               split=nerf_split)
+                rgba = jnp.concatenate(
+                    [rgb_raw[:, 0:3], alpha_raw[:, 0:1]],
+                    axis=1)                                  # (nrows, 4)
+            # raw rgba scatters back with the same hi/lo split (the
+            # residual rides 4 extra lanes; recombined in the composite)
+            if use_split:
+                rg_hi = rgba.astype(jnp.bfloat16).astype(jnp.float32)
+                rgba = jnp.concatenate([rg_hi, rgba - rg_hi], axis=1)
+            payload = jnp.dot(rgba, tile_pw,
+                              preferred_element_type=jnp.float32,
+                              precision=prec) \
+                * jnp.dot(smask, expand_s,
+                          preferred_element_type=jnp.float32)
+            put(jnp.dot(
+                onehotT, payload, preferred_element_type=jnp.float32,
+                precision=prec))                             # (T, pw*S)
+
+        if chunk_mults is None:
+            # v5: static unroll over fixed-size chunks, gated on liveness
+            for k in range(n_chunks):
+                @pl.when(jnp.float32(k * chunk) < total)
+                def _(k=k):
+                    shade_rows(chunk, k * chunk, True)
+        else:
+            # v7: ONE whole-tile batch at the smallest allowed capacity
+            # >= total; exactly one region executes (counts >= 1 per ray,
+            # so total >= T and total <= S*T always land in some band)
+            caps = sorted({int(m) * chunk for m in chunk_mults
+                           if 0 < int(m) * chunk <= S * tile})
+            if not caps or caps[-1] != S * tile:
+                caps.append(S * tile)
+            prev = 0
+            for ci, cap in enumerate(caps):
+                band = total > jnp.float32(prev)
+                if ci + 1 < len(caps):
+                    band = jnp.logical_and(band, total <= jnp.float32(cap))
+
+                @pl.when(band)
+                def _(cap=cap):
+                    shade_rows(cap, 0, False)
+                prev = cap
 
         if stop_after == "compact":  # profiling hook: skip the composite
             out_ref[:] = jnp.concatenate(

@@ -105,6 +105,44 @@ def test_compact_chunk_sizes(setup, chunk):
     np.testing.assert_allclose(rgb_a, rgb_b, atol=2e-7, rtol=0)
 
 
+def test_batched_back_half_exact(setup):
+    """v7 (whole-tile capacity-gated batch, chunk_mults=) is pure data
+    movement around the same row-local math as the per-chunk loop — results
+    must match v5 to dot-blocking ulps."""
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:192]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+    rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                           chunk_mults=(1, 2, 3, 4, 6, 8))
+    np.testing.assert_array_equal(counts_a, counts_b)
+    # different MLP batch shapes change the CPU dot's blocking -> 1-ulp
+    # reduction-order differences; anything beyond that is a real bug
+    np.testing.assert_allclose(rgb_a, rgb_b, atol=2e-7, rtol=0)
+
+
+def test_batched_back_half_ndc_exact(ndc_setup):
+    """v7 under the NDC ray transform matches the NDC realtime pipeline."""
+    ts = ndc_setup
+    rt = RealtimeRenderer(ts.model_defs, ts.params, ts.scene, ts.config_file,
+                          batch_size=128, dtype=None)
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:128]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_mk, counts_mk = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                             chunk_mults=(1, 2, 4, 8))
+    rgb_ref = rt.render_frame(pose, rot, dirs)
+    _pk, mask, _n = rt._oracle_fn(rt.params[0], jnp.asarray(pose),
+                                  jnp.asarray(rot), jnp.asarray(dirs))
+    np.testing.assert_array_equal(counts_mk, np.asarray(mask).sum(axis=1))
+    np.testing.assert_allclose(rgb_mk, rgb_ref, atol=2e-4)
+
+
 def test_viewer_megakernel_renderer_wiring(setup):
     """viewer.build_megakernel_renderer: pad-to-tile, pose/rot packing and
     count slicing must reproduce the XLA frame renderer on a ragged ray

@@ -70,7 +70,11 @@ def main():
             if name == "v3":
                 run = make_megakernel(rt.oracle_def, rt.nerf_def, scene,
                                       mk_cfg, **kw)(po, pn)
-            elif name == "v5":
+            elif name in ("v5", "v7"):
+                if name == "v7":
+                    mults = kw.pop("mults", "1-2-3-4-6-8")
+                    kw["chunk_mults"] = tuple(
+                        int(m) for m in str(mults).split("-"))
                 run = make_megakernel_compact(rt.oracle_def, rt.nerf_def,
                                               scene, mk_cfg, **kw)(po, pn)
             elif name == "v6":

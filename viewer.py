@@ -194,7 +194,7 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
         raise SystemExit("--megakernel needs an adaptive model "
                          f"(threshold>0, <=16 samples; got thr={rt.threshold}"
                          f", S={S})")
-    if getattr(rt, "use_ndc", False) and variant != "v5":
+    if getattr(rt, "use_ndc", False) and variant not in ("v5", "v7"):
         # ValueError (not SystemExit) so bench.py falls back to another
         # path instead of silently timing wrong-geometry frames
         raise ValueError("only the v5 megakernel implements the NDC ray "
@@ -231,6 +231,9 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
             rt.oracle_def, rt.nerf_def, scene, config, tile=tile,
             interpret=interp, **mk_kwargs)(po, pn)
     else:                    # v5 in-tile compaction: wins sparse workloads
+        if variant == "v7" and "chunk_mults" not in mk_kwargs:
+            # whole-tile batched back half (one capacity-gated region)
+            mk_kwargs["chunk_mults"] = (1, 2, 3, 4, 6, 8)
         mk = make_megakernel_compact(rt.oracle_def, rt.nerf_def, scene,
                                      config, tile=tile, chunk=tile,
                                      interpret=interp, **mk_kwargs)(po, pn)
@@ -275,7 +278,7 @@ def main(argv=None):
     p.add_argument("--dynamic", action="store_true",
                    help="in-graph lax.switch bucketing instead of a probed fixed capacity")
     p.add_argument("--megakernel", nargs="?", const="v5", default=None,
-                   choices=["v5", "v3"],
+                   choices=["v7", "v5", "v3"],
                    help="render through the fused whole-frame Pallas kernel "
                         "(ops/pallas/megakernel3.py) instead of the XLA "
                         "bucketed pipeline")
