@@ -69,7 +69,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             no_shade: bool = False, no_encode: bool = False,
                             oracle_split: bool = False,
                             nerf_split: bool = False,
-                            chunk_mults=None,
+                            chunk_mults=None, dynamic: bool = False,
                             stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
@@ -498,7 +498,20 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 onehotT, payload, preferred_element_type=jnp.float32,
                 precision=prec))                             # (T, pw*S)
 
-        if chunk_mults is None:
+        if chunk_mults is None and dynamic:
+            # v5d: ONE loop body, dynamic trip count = ceil(total/chunk).
+            # Mosaic schedules @pl.when regions even when untaken (measured:
+            # a 6-region capacity-gated back half ran 2.4x slower than this
+            # same code as chunks), so dead chunks must not exist as regions
+            # — the loop executes exactly the live trip count.
+            n_live = jnp.ceil(total * (1.0 / chunk)).astype(jnp.int32)
+
+            def body(k, carry):
+                shade_rows(chunk, (k * chunk).astype(jnp.float32), True)
+                return carry
+
+            jax.lax.fori_loop(0, n_live, body, 0)
+        elif chunk_mults is None:
             # v5: static unroll over fixed-size chunks, gated on liveness
             for k in range(n_chunks):
                 @pl.when(jnp.float32(k * chunk) < total)

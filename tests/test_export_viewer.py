@@ -72,3 +72,44 @@ def test_viewer_reconstruction_matches(exported):
     img2 = rt_train.render_frame(pose, rot, dirs)
     # note: the exported depth_range is the warped range the shading net uses
     np.testing.assert_allclose(img1, img2, atol=1e-5)
+
+
+def test_viewer_reconstruction_ndc_none_normalization(tmp_path_factory):
+    """A stored `rayMarchNormalization = [..., None]` must reconstruct the
+    explicit "None" (identity) normalization, not the MaxDepth default:
+    parse_kv_file literal-evals the bare token to Python None, which
+    get_normalization maps to MaxDepth (normalization.py _SWITCH) —
+    regression for the NDC export path shading positions/max_depth
+    (~25 dB loss) while the megakernel path treated None as identity."""
+    scene = make_scene(str(tmp_path_factory.mktemp("scene_exp_ndc")))
+    log = str(tmp_path_factory.mktemp("logs_exp_ndc"))
+    args = dense_config_args(scene, log, threshold=0.2)
+    args[args.index("FromClassifiedDepthAdaptive")] = \
+        "FromClassifiedDepthAdaptiveNoDepthRange"
+    k = args.index("InverseSqrtDistCentered")
+    args[args.index("InverseSqrtDistCentered", k + 1)] = "None"
+    args[args.index("log")] = "linear"
+    args += ["--useNDC"]
+    config = Config.init(argv=args)
+    ts = TrainState()
+    ts.initialize(config)
+    out = export_artifacts(ts, os.path.join(ts.logDir, "exported_model"),
+                           aot=False)
+
+    import viewer as viewer_mod
+    from adanerf_tpu.ops.normalization import normalization_none
+    from adanerf_tpu.realtime import RealtimeRenderer
+
+    rt, _ = viewer_mod.build_renderer_from_export(out, batch_size=128,
+                                                  dtype_str="fp32")
+    assert rt.use_ndc and rt.z_no_range
+    assert rt.normalization is normalization_none
+
+    rt_train = RealtimeRenderer(ts.model_defs, ts.params, ts.scene,
+                                ts.config_file, batch_size=128, dtype=None)
+    dirs = ts.test_dataset.directions[:128]
+    pose = ts.test_dataset.poses[0]
+    rot = ts.test_dataset.rotations[0]
+    np.testing.assert_allclose(rt.render_frame(pose, rot, dirs),
+                               rt_train.render_frame(pose, rot, dirs),
+                               atol=1e-5)

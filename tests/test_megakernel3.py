@@ -124,6 +124,22 @@ def test_batched_back_half_exact(setup):
     np.testing.assert_allclose(rgb_a, rgb_b, atol=2e-7, rtol=0)
 
 
+def test_dynamic_chunk_loop_exact(setup):
+    """v5d (dynamic-trip fori_loop over live chunks) runs the same chunk
+    bodies in the same order — bit-identical to the static unroll."""
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:192]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+    rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                           dynamic=True)
+    np.testing.assert_array_equal(counts_a, counts_b)
+    np.testing.assert_array_equal(rgb_a, rgb_b)
+
+
 def test_batched_back_half_ndc_exact(ndc_setup):
     """v7 under the NDC ray transform matches the NDC realtime pipeline."""
     ts = ndc_setup

@@ -71,6 +71,8 @@ def main():
                 run = make_megakernel(rt.oracle_def, rt.nerf_def, scene,
                                       mk_cfg, **kw)(po, pn)
             elif name in ("v5", "v7"):
+                if "dyn" in kw:
+                    kw["dynamic"] = bool(kw.pop("dyn"))
                 if name == "v7":
                     mults = kw.pop("mults", "1-2-3-4-6-8")
                     kw["chunk_mults"] = tuple(

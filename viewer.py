@@ -68,11 +68,19 @@ def build_renderer_from_export(model_dir, batch_size, dtype_str="bf16"):
     fov = float(info["fov"])
     focal = float(info["focal"])
 
+    # the literal token `None` in a stored config.ini means the explicit
+    # "None" (identity) normalization, not an absent key — parse_kv_file's
+    # literal_eval collapses it to Python None, which get_normalization
+    # would resolve to the MaxDepth *default* (normalization.py _SWITCH);
+    # keep it as the string so NDC exports shade in raw NDC coordinates
+    rmn = cfg.get("rayMarchNormalization")
+    if rmn is not None:
+        rmn = ["None" if x is None else x for x in rmn]
     config = SimpleNamespace(
         numRaymarchSamples=cfg["numRaymarchSamples"],
         adaptiveSamplingThreshold=float(cfg.get("adaptiveSamplingThreshold", 0.0)),
         posEnc=cfg["posEnc"], posEncArgs=cfg["posEncArgs"],
-        rayMarchNormalization=cfg.get("rayMarchNormalization"),
+        rayMarchNormalization=rmn,
         accumulationMult=cfg.get("accumulationMult"),
         useNDC=cfg.get("useNDC") is True,
         rayMarchSampler=cfg.get("rayMarchSampler"))
