@@ -70,6 +70,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             oracle_split: bool = False,
                             nerf_split: bool = False,
                             chunk_mults=None, dynamic: bool = False,
+                            dense_path: bool = True,
                             stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
@@ -302,18 +303,18 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
             keep_ref[:, :2 * S] = jnp.concatenate(
                 cols[:n_slots] + pads + cols[n_slots:] + pads, axis=1)
 
-        if S > 4:
-            @pl.when(max_n <= 2.0)
-            def _():
-                build_zp(2)
+        zp_bands = ([b for b in (2, 4, 8) if b < S] + [S]) if S > 4 else [S]
+        if len(zp_bands) > 1:
+            prev_b = 0.0
+            for bi, b in enumerate(zp_bands):
+                cond = max_n > prev_b
+                if bi + 1 < len(zp_bands):
+                    cond = jnp.logical_and(cond, max_n <= float(b))
 
-            @pl.when(jnp.logical_and(max_n > 2.0, max_n <= 4.0))
-            def _():
-                build_zp(4)
-
-            @pl.when(max_n > 4.0)
-            def _():
-                build_zp(S)
+                @pl.when(cond)
+                def _(b=b):
+                    build_zp(b)
+                prev_b = float(b)
         else:
             build_zp(S)
         z_cols = [keep_ref[:, s:s + 1] for s in range(S)]
@@ -327,13 +328,39 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
         # ---- compaction ----
         c = n_per.astype(jnp.float32)[:, None]                   # (T, 1)
+        # Hybrid dense-base dispatch: every ray keeps >= 1 sample, so the
+        # first min(c) slots of the tile are 100% dense — shading them as
+        # whole-tile passes costs exactly the same MLP rows as compacting
+        # them but ZERO machinery (no one-hots, no gather/scatter matmuls,
+        # no hi/mid/lo reconstruction, no per-chunk narrow ops). Only the
+        # residual c - base samples go through the compact chunk loop. When
+        # the marginal passes to reach max(c) cost no more rows than the
+        # residual's chunk quantization, go FULL dense (base = max(c)) and
+        # the chunk loop runs zero trips. This covers the workload extremes
+        # that dominate real scenes: sky tiles (min = max = 1: one dense
+        # pass, no chunks), at-cap tiles (all rays at c = S, the reference
+        # barbershop/pavillon in-cell regime, where compaction has nothing
+        # to skip and its machinery is pure loss), and mixed tiles (base
+        # passes replace ~base*T compact rows' worth of chunk machinery).
+        run_dense = dense_path and stop_after != "minimal"
+        if run_dense:
+            max_cf = jnp.max(c)
+            min_cf = jnp.min(c)
+            resid_min = jnp.maximum(jnp.sum(c) - min_cf * T, 0.0)
+            resid_rows = jnp.ceil(resid_min * (1.0 / chunk)) * chunk
+            full = (max_cf - min_cf) * jnp.float32(T) <= resid_rows
+            base_f = jnp.where(full, max_cf, min_cf)
+            dense_trips = base_f.astype(jnp.int32)
+        else:
+            base_f = jnp.float32(0.0)
+        cr = jnp.maximum(c - base_f, 0.0)                        # residual
         # tril entries (0/1) and counts (<= S <= 8) are bf16-exact, and the
         # MXU accumulates in f32, so this prefix sum is EXACT even at
         # default (single-pass bf16) matmul precision
-        cum_excl = jnp.dot(tril_ref[:], c,
+        cum_excl = jnp.dot(tril_ref[:], cr,
                            preferred_element_type=jnp.float32)   # (T, 1)
-        cum_incl = cum_excl + c
-        total = jnp.sum(c)                                        # scalar
+        cum_incl = cum_excl + cr
+        total = jnp.sum(cr)                                       # scalar
 
         # Packed per-ray values the compact rows gather from. A default-
         # precision MXU matmul rounds each INPUT to bf16 (8 mantissa bits) —
@@ -399,7 +426,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         # (measured: 23 dB kernel-vs-fp32 agreement on a trained scene with
         # ~1.3 samples/px — every content tile past cum=256 corrupted).
         cum_excl_row = rowize(cum_p[0]) + rowize(cum_p[1])       # (1, T)
-        cum_incl_row = cum_excl_row + rowize(c)
+        cum_incl_row = cum_excl_row + rowize(cr)
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (1, S), 1).astype(jnp.float32)            # (1, S)
 
@@ -410,6 +437,39 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                       jnp.float32(center[2])))
         tile_pw = tile_pw_ref[:]
         expand_s = expand_s_ref[:]
+
+        def shade_coords(co, cd, z_sel):
+            """Sample coords -> raw rgba (nrows, 4): the row-local
+            normalize/encode/MLP block shared by the gathered chunk path
+            and the dense-tile fast path (identical op order, so the two
+            paths agree to the gather's reconstruction precision)."""
+            nrows = co.shape[0]
+            spos = co + cd * z_sel                           # (nrows, 3)
+            zero2c = jnp.zeros((nrows, 2), jnp.float32)
+            if norm_none:
+                cdir = cd
+                if use_ndc:  # dir encode uses the normalized NDC dir;
+                    # dead/padded rows carry cd=0 -> guard the norm so
+                    # 0/0 NaNs can't ride the zero-one-hot scatter
+                    # (NaN*0 = NaN would poison acc_ref)
+                    cdir = cd / jnp.sqrt(jnp.maximum(
+                        jnp.sum(cd * cd, axis=1, keepdims=True), 1e-24))
+                coords_n = jnp.concatenate([spos, cdir, zero2c], axis=1)
+            else:
+                l = spos - center_row
+                norm = jnp.sqrt(jnp.sqrt(
+                    jnp.sum(l * l, axis=1, keepdims=True)))
+                inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
+                coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
+            if no_encode:  # profiling hook: gather/scatter cost only
+                return coords_n[:, 0:4]
+            if no_shade:  # profiling hook: machinery w/o the MLP
+                return _lane_encode(coords_n, *nt)[:, 0:4]
+            x1 = _lane_encode(coords_n, *nt)
+            rgb_raw, alpha_raw = _nerf_mlp(nw, x1, nerf_def,
+                                           split=nerf_split)
+            return jnp.concatenate(
+                [rgb_raw[:, 0:3], alpha_raw[:, 0:1]], axis=1)
 
         def shade_rows(nrows, off, accumulate):
             """Gather/shade/scatter compact rows [off, off+nrows) of the
@@ -452,38 +512,13 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
             cd = g[:, 4 + S:7 + S]
             jcol = jax.lax.broadcasted_iota(
                 jnp.int32, (nrows, 1), 0).astype(jnp.float32) + jnp.float32(off)
-            s_j = jcol - ccum                                # (nrows, 1)
+            # residual sample j of ray r shades slot (j - cum') + base: the
+            # first base slots were already shaded by the dense passes
+            s_j = jcol - ccum + base_f                       # (nrows, 1)
             smask = (s_j == slot_iota).astype(jnp.float32)   # (nrows, S)
             z_sel = jnp.sum(zpieces * smask, axis=1, keepdims=True)
 
-            spos = co + cd * z_sel                           # (nrows, 3)
-            zero2c = jnp.zeros((nrows, 2), jnp.float32)
-            if norm_none:
-                cdir = cd
-                if use_ndc:  # dir encode uses the normalized NDC dir;
-                    # dead trailing rows gather cd=0 -> guard the norm so
-                    # 0/0 NaNs can't ride the zero-one-hot scatter
-                    # (NaN*0 = NaN would poison acc_ref)
-                    cdir = cd / jnp.sqrt(jnp.maximum(
-                        jnp.sum(cd * cd, axis=1, keepdims=True), 1e-24))
-                coords_n = jnp.concatenate([spos, cdir, zero2c], axis=1)
-            else:
-                l = spos - center_row
-                norm = jnp.sqrt(jnp.sqrt(
-                    jnp.sum(l * l, axis=1, keepdims=True)))
-                inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
-                coords_n = jnp.concatenate([l * inv, cd, zero2c], axis=1)
-            if no_encode:  # profiling hook: gather/scatter cost only
-                rgba = coords_n[:, 0:4]
-            elif no_shade:  # profiling hook: machinery w/o the MLP
-                rgba = _lane_encode(coords_n, *nt)[:, 0:4]
-            else:
-                x1 = _lane_encode(coords_n, *nt)
-                rgb_raw, alpha_raw = _nerf_mlp(nw, x1, nerf_def,
-                                               split=nerf_split)
-                rgba = jnp.concatenate(
-                    [rgb_raw[:, 0:3], alpha_raw[:, 0:1]],
-                    axis=1)                                  # (nrows, 4)
+            rgba = shade_coords(co, cd, z_sel)               # (nrows, 4)
             # raw rgba scatters back with the same hi/lo split (the
             # residual rides 4 extra lanes; recombined in the composite)
             if use_split:
@@ -497,6 +532,34 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
             put(jnp.dot(
                 onehotT, payload, preferred_element_type=jnp.float32,
                 precision=prec))                             # (T, pw*S)
+
+        # Dense base passes: shade slots [0, base) as whole-tile batches.
+        # Dead (ray, slot) pairs shade z = 0 (z_cols are built *live) and
+        # are zeroed by the composite's live mask, exactly like dense v3.
+        # The pass loop is a dynamic-trip fori_loop, so untaken passes cost
+        # nothing (the v5d lesson: @pl.when REGIONS get Mosaic-scheduled
+        # even untaken).
+        if run_dense:
+            zmat = keep_ref[:, :S]                           # (T, S) z*live
+            p_r = jax.lax.broadcasted_iota(jnp.int32, (pw, pw * S), 0)
+            p_c = jax.lax.broadcasted_iota(jnp.int32, (pw, pw * S), 1)
+
+            def dense_body(s, carry):
+                sf = s.astype(jnp.float32)
+                z_s = jnp.sum(zmat * (slot_iota == sf).astype(jnp.float32),
+                              axis=1, keepdims=True)
+                rgba = shade_coords(pack_o3, pack_d3, z_s)
+                if use_split:  # same split+0/1-matmul scatter numerics as
+                    # the gathered path (hi bf16-exact, residual lanes)
+                    rg_hi = rgba.astype(jnp.bfloat16).astype(jnp.float32)
+                    rgba = jnp.concatenate([rg_hi, rgba - rg_hi], axis=1)
+                shift = (p_c == p_r + pw * s).astype(jnp.float32)
+                acc_ref[:, :] += jnp.dot(rgba, shift,
+                                         preferred_element_type=jnp.float32,
+                                         precision=prec)
+                return carry
+
+            jax.lax.fori_loop(0, dense_trips, dense_body, 0)
 
         if chunk_mults is None and dynamic:
             # v5d: ONE loop body, dynamic trip count = ceil(total/chunk).
@@ -513,14 +576,17 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
             jax.lax.fori_loop(0, n_live, body, 0)
         elif chunk_mults is None:
             # v5: static unroll over fixed-size chunks, gated on liveness
+            # (total is the RESIDUAL after the dense base passes, so fully
+            # dense tiles take no chunk at all)
             for k in range(n_chunks):
                 @pl.when(jnp.float32(k * chunk) < total)
                 def _(k=k):
                     shade_rows(chunk, k * chunk, True)
         else:
             # v7: ONE whole-tile batch at the smallest allowed capacity
-            # >= total; exactly one region executes (counts >= 1 per ray,
-            # so total >= T and total <= S*T always land in some band)
+            # >= total; at most one region executes (zero when the dense
+            # base passes absorbed every sample). With the dense path the
+            # region must accumulate on top of the base passes' acc.
             caps = sorted({int(m) * chunk for m in chunk_mults
                            if 0 < int(m) * chunk <= S * tile})
             if not caps or caps[-1] != S * tile:
@@ -533,7 +599,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
                 @pl.when(band)
                 def _(cap=cap):
-                    shade_rows(cap, 0, False)
+                    shade_rows(cap, 0, bool(run_dense))
                 prev = cap
 
         if stop_after == "compact":  # profiling hook: skip the composite
@@ -571,18 +637,17 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
         if S > 4:
             max_c = jnp.max(c)
+            prev_b = 0.0
+            c_bands = [b for b in (2, 4, 8) if b < S] + [S]
+            for bi, b in enumerate(c_bands):
+                cond = max_c > prev_b
+                if bi + 1 < len(c_bands):
+                    cond = jnp.logical_and(cond, max_c <= float(b))
 
-            @pl.when(max_c <= 2.0)
-            def _():
-                composite(2)
-
-            @pl.when(jnp.logical_and(max_c > 2.0, max_c <= 4.0))
-            def _():
-                composite(4)
-
-            @pl.when(max_c > 4.0)
-            def _():
-                composite(S)
+                @pl.when(cond)
+                def _(b=b):
+                    composite(b)
+                prev_b = float(b)
         else:
             composite(S)
 

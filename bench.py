@@ -253,10 +253,9 @@ def main():
             return (mrun(n2) - mrun(n1)) / (n2 - n1)
 
         for name, build in [
-                ("pallas-megakernel-v7", lambda: make_megakernel_compact(
+                ("pallas-megakernel-v5d", lambda: make_megakernel_compact(
                     rt.oracle_def, rt.nerf_def, scene, mk_cfg,
-                    tile=256, chunk=256,
-                    chunk_mults=(1, 2, 3, 4, 6, 8))(po, pn)),
+                    tile=256, chunk=256, dynamic=True)(po, pn)),
                 ("pallas-megakernel-v5", lambda: make_megakernel_compact(
                     rt.oracle_def, rt.nerf_def, scene, mk_cfg,
                     tile=256, chunk=256)(po, pn)),

@@ -140,6 +140,50 @@ def test_dynamic_chunk_loop_exact(setup):
     np.testing.assert_array_equal(rgb_a, rgb_b)
 
 
+def test_dense_tile_fast_path_exact(setup):
+    """Tiles where max(count) whole-tile dense passes cost no more MLP rows
+    than the compact chunk loop dispatch to the direct (no-gather) dense
+    path — same row-local math as the gathered chunk path (the fp32
+    hi/mid/lo reconstruction is exact), checked on a mixed-count workload
+    and on the two extremes the dispatch exists for: all-sky (count 1 via
+    high-threshold fallback) and at-cap (count = S via threshold 0)."""
+    ts = setup
+    cfg = ts.config_file
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:192]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    # the fast path runs the same row-local math but in a different fusion
+    # context (no gather matmuls around the encode), so the CPU interpret
+    # backend's sin/dot blocking differs by 1-2 ulp on a handful of pixels
+    # — same class as the chunk-shape tolerance in the tests above
+    def check(**cfg_over):
+        old = {k: getattr(cfg, k) for k in cfg_over}
+        try:
+            for k, v in cfg_over.items():
+                setattr(cfg, k, v)
+            rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                                   dense_path=False)
+            rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+        finally:
+            for k, v in old.items():
+                setattr(cfg, k, v)
+        np.testing.assert_array_equal(counts_a, counts_b)
+        np.testing.assert_allclose(rgb_a, rgb_b, atol=5e-7, rtol=0)
+        return counts_a
+
+    check()  # mixed counts: dispatch per tile
+    # threshold above every oracle output -> each ray keeps only the
+    # argmax-fallback sample -> every tile dense at 1 pass
+    counts = check(adaptiveSamplingThreshold=1e9)
+    assert (counts == 1).all()
+    # threshold 0 -> plain top-S keep -> every ray at the cap (the
+    # barbershop/pavillon in-cell regime) -> dense at S passes
+    counts = check(adaptiveSamplingThreshold=0.0)
+    assert (counts == cfg.numRaymarchSamples[1]).all()
+
+
 def test_batched_back_half_ndc_exact(ndc_setup):
     """v7 under the NDC ray transform matches the NDC realtime pipeline."""
     ts = ndc_setup

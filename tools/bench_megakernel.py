@@ -3,9 +3,17 @@
 TPU at the reference viewer workload (800x800, thr 0.2, ~2.5 avg samples/px).
 
 Usage: python tools/bench_megakernel.py [v3] [v5] [v5:tile=512,chunk=256] ...
+       python tools/bench_megakernel.py --export-dir demo/trained_ndc_export \
+           v5 v5:stop_after=oracle ...
 Prints one line per variant: name, frame ms, FPS, Mrays/s.
+
+With --export-dir the workload is a TRAINED export (same model/scene/ray
+order bench.py times: 800x800, square-block ray permutation, in-cell pose);
+without it the calibrated random-weights workload (avg=NN sets the target
+samples/px x10, scan ray order).
 """
 
+import argparse
 import sys
 import time
 
@@ -13,6 +21,11 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--export-dir", default=None)
+    ap.add_argument("variants", nargs="*", default=None)
+    cli = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +52,17 @@ def main():
             cache[avg] = build_workload(w, h, target_avg_samples=avg)
         return cache[avg]
 
-    variants = sys.argv[1:] or ["v3", "v5"]
+    export_rt = None
+    if cli.export_dir:
+        from adanerf_tpu.ops.raygen import generate_ray_directions
+        from viewer import build_renderer_from_export
+        export_rt, export_scene = build_renderer_from_export(
+            cli.export_dir, 80_000)
+        focal = 0.5 * w / np.tan(0.5 * export_scene.fov)
+        export_dirs = generate_ray_directions(
+            w, h, export_scene.fov, focal).reshape(-1, 3).astype(np.float32)
+
+    variants = cli.variants or ["v3", "v5"]
     for spec in variants:
         name, _, opts = spec.partition(":")
         kw = {}
@@ -51,20 +74,33 @@ def main():
                 except ValueError:
                     kw[k] = v
         avg_target = kw.pop("avg", 25) / 10.0  # avg=12 -> 1.2 samples/px
-        rt, directions, scene = workload(avg_target)
+        if export_rt is not None:
+            rt, directions, scene = export_rt, export_dirs, export_scene
+            mk_cfg = rt.config
+        else:
+            rt, directions, scene = workload(avg_target)
+            mk_cfg = SimpleNamespace(
+                numRaymarchSamples=[128, rt.max_samples],
+                adaptiveSamplingThreshold=rt.threshold,
+                posEnc=["nerf", "nerf"], posEncArgs=["10-4", "10-4"],
+                accumulationMult="alpha")
         n_pix = directions.shape[0]
         p0, p1 = rt.params[0], rt.params[1]
-        mk_cfg = SimpleNamespace(
-            numRaymarchSamples=[128, rt.max_samples],
-            adaptiveSamplingThreshold=rt.threshold,
-            posEnc=["nerf", "nerf"], posEncArgs=["10-4", "10-4"],
-            accumulationMult="alpha")
         po = pack_oracle_weights(rt.oracle_def, p0, dtype=jnp.bfloat16)
         pn = pack_nerf_weights(rt.nerf_def, p1, dtype=jnp.bfloat16)
-        dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(directions),
+        mk_dirs = directions
+        if export_rt is not None:
+            from viewer import block_permutation
+            perm, _inv = block_permutation(w, h, kw.get("tile", 256))
+            if perm is not None:
+                mk_dirs = directions[perm]
+        dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(mk_dirs),
                                            jnp.zeros(3), jnp.eye(3))
+        pose_np = np.asarray(scene.view_cell_center, np.float32)
+        pose_np = pose_np + (0.2 * float(scene.view_cell_radius)
+                             if export_rt is not None else 0.1)
         pose_row = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
-            jnp.asarray(np.asarray(scene.view_cell_center, np.float32) + 0.1))
+            jnp.asarray(pose_np))
         t0 = time.perf_counter()
         try:
             if name == "v3":
@@ -73,6 +109,8 @@ def main():
             elif name in ("v5", "v7"):
                 if "dyn" in kw:
                     kw["dynamic"] = bool(kw.pop("dyn"))
+                if "dense" in kw:
+                    kw["dense_path"] = bool(kw.pop("dense"))
                 if name == "v7":
                     mults = kw.pop("mults", "1-2-3-4-6-8")
                     kw["chunk_mults"] = tuple(

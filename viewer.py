@@ -202,7 +202,7 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
         raise SystemExit("--megakernel needs an adaptive model "
                          f"(threshold>0, <=16 samples; got thr={rt.threshold}"
                          f", S={S})")
-    if getattr(rt, "use_ndc", False) and variant not in ("v5", "v7"):
+    if getattr(rt, "use_ndc", False) and variant not in ("v5", "v5d", "v7"):
         # ValueError (not SystemExit) so bench.py falls back to another
         # path instead of silently timing wrong-geometry frames
         raise ValueError("only the v5 megakernel implements the NDC ray "
@@ -242,6 +242,8 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
         if variant == "v7" and "chunk_mults" not in mk_kwargs:
             # whole-tile batched back half (one capacity-gated region)
             mk_kwargs["chunk_mults"] = (1, 2, 3, 4, 6, 8)
+        if variant == "v5d":  # dynamic-trip chunk loop (production default)
+            mk_kwargs.setdefault("dynamic", True)
         mk = make_megakernel_compact(rt.oracle_def, rt.nerf_def, scene,
                                      config, tile=tile, chunk=tile,
                                      interpret=interp, **mk_kwargs)(po, pn)
@@ -285,8 +287,8 @@ def main(argv=None):
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--dynamic", action="store_true",
                    help="in-graph lax.switch bucketing instead of a probed fixed capacity")
-    p.add_argument("--megakernel", nargs="?", const="v5", default=None,
-                   choices=["v7", "v5", "v3"],
+    p.add_argument("--megakernel", nargs="?", const="v5d", default=None,
+                   choices=["v5d", "v7", "v5", "v3"],
                    help="render through the fused whole-frame Pallas kernel "
                         "(ops/pallas/megakernel3.py) instead of the XLA "
                         "bucketed pipeline")
@@ -298,7 +300,9 @@ def main(argv=None):
     from adanerf_tpu.ops.raygen import generate_ray_directions
 
     w, h = args.size
-    rt, scene = build_renderer_from_export(args.model_dir, args.batch_size,
+    # small -s frames: a batch can't exceed the frame (n_batches >= 1)
+    bs = min(args.batch_size, w * h)
+    rt, scene = build_renderer_from_export(args.model_dir, bs,
                                            "fp32" if args.fp32 else "bf16")
     # render-size focal: keep the exported fov at any -s resolution
     focal = 0.5 * w / np.tan(0.5 * scene.fov)
