@@ -29,7 +29,10 @@ def psnr(a, b):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("export_dir")
-    ap.add_argument("scene_dir")
+    ap.add_argument("scene_dir", nargs="?", default=None,
+                    help="GT scene dir; omit with --orbit to compare the "
+                         "kernel against the fp32 pipeline only (converted "
+                         "reference exports have no in-repo ground truth)")
     ap.add_argument("--out", default=None, help="dump rendered frames here")
     ap.add_argument("--set", default="test")
     ap.add_argument("--fp32-delta", action="store_true",
@@ -50,7 +53,12 @@ def main():
                     help="hi/lo-split oracle-MLP activations (2-pass)")
     ap.add_argument("--nerf-split", action="store_true",
                     help="hi/lo-split shading-MLP activations (2-pass)")
+    ap.add_argument("--orbit", type=int, default=0,
+                    help="render N in-cell orbit poses instead of a GT test "
+                         "split (implies --fp32-delta vs-fp32 only)")
     args = ap.parse_args()
+    if args.orbit == 0 and args.scene_dir is None:
+        ap.error("need a scene_dir or --orbit N")
 
     from adanerf_tpu.platform import apply_platform_env
     apply_platform_env()
@@ -61,16 +69,28 @@ def main():
     from adanerf_tpu.ops.raygen import generate_ray_directions
     from viewer import build_megakernel_renderer, build_renderer_from_export
 
-    with open(os.path.join(args.scene_dir, "dataset_info.json")) as f:
-        info = json.load(f)
-    w, h = info["resolution"]
-    with open(os.path.join(args.scene_dir,
-                           f"transforms_{args.set}.json")) as f:
-        frames = json.load(f)["frames"]
-    if args.n_frames:
-        frames = frames[:args.n_frames]
+    if args.orbit:
+        args.fp32_delta = True
+        frames = None
+    else:
+        with open(os.path.join(args.scene_dir, "dataset_info.json")) as f:
+            info = json.load(f)
+        w, h = info["resolution"]
+        with open(os.path.join(args.scene_dir,
+                               f"transforms_{args.set}.json")) as f:
+            frames = json.load(f)["frames"]
+        if args.n_frames:
+            frames = frames[:args.n_frames]
 
     rt, scene = build_renderer_from_export(args.export_dir, batch_size=80_000)
+    if args.orbit:
+        w, h = (scene.w, scene.h) if scene.w > 0 else (800, 800)
+        from viewer import orbit_poses
+        eye = np.eye(3, dtype=np.float32)
+        frames = [{"pose": p, "rot": eye, "name": f"orbit{i:02d}"}
+                  for i, p in enumerate(orbit_poses(
+                      scene.view_cell_center, 0.4 * scene.view_cell_radius,
+                      args.orbit))]
     focal = 0.5 * w / np.tan(0.5 * scene.fov)
     dirs = generate_ray_directions(w, h, scene.fov, focal) \
         .reshape(-1, 3).astype(np.float32)
@@ -96,20 +116,28 @@ def main():
 
     rows = []
     for fr in frames:
-        t = np.array(fr["transform_matrix"], np.float32)
-        pose, rot = t[:3, 3], t[:3, :3]
-        gt_path = os.path.join(args.scene_dir, fr["file_path"][2:] + ".png")
-        gt = imageio.imread(gt_path).astype(np.float32)[..., :3] / 255.0
+        if args.orbit:
+            pose, rot, name = fr["pose"], fr["rot"], fr["name"]
+            gt = None
+        else:
+            t = np.array(fr["transform_matrix"], np.float32)
+            pose, rot = t[:3, 3], t[:3, :3]
+            gt_path = os.path.join(args.scene_dir,
+                                   fr["file_path"][2:] + ".png")
+            gt = imageio.imread(gt_path).astype(np.float32)[..., :3] / 255.0
+            name = os.path.basename(gt_path)
         rgb, counts = render(rt.params[0], rt.params[1],
                              jnp.asarray(pose), jnp.asarray(rot), None)
         img = np.clip(np.asarray(rgb), 0, 1).reshape(h, w, 3)
-        row = {"name": os.path.basename(gt_path),
-               "psnr_mk": psnr(img, gt),
+        row = {"name": name,
                "avg_samples": float(np.mean(np.asarray(counts)))}
+        if gt is not None:
+            row["psnr_mk"] = psnr(img, gt)
         if args.fp32_delta:
             ref = np.clip(np.asarray(
                 rt32.render_frame(pose, rot, dirs)), 0, 1).reshape(h, w, 3)
-            row["psnr_fp32"] = psnr(ref, gt)
+            if gt is not None:
+                row["psnr_fp32"] = psnr(ref, gt)
             row["psnr_mk_vs_fp32"] = psnr(img, ref)
         rows.append(row)
         print(" ".join(f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
