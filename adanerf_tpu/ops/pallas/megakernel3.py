@@ -70,7 +70,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             oracle_split: bool = False,
                             nerf_split: bool = False,
                             chunk_mults=None, dynamic: bool = False,
-                            dense_path: bool = True,
+                            dense_path: bool = True, dense_cost: int = 408,
                             stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
@@ -328,28 +328,34 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
         # ---- compaction ----
         c = n_per.astype(jnp.float32)[:, None]                   # (T, 1)
-        # Hybrid dense-base dispatch: every ray keeps >= 1 sample, so the
-        # first min(c) slots of the tile are 100% dense — shading them as
-        # whole-tile passes costs exactly the same MLP rows as compacting
-        # them but ZERO machinery (no one-hots, no gather/scatter matmuls,
-        # no hi/mid/lo reconstruction, no per-chunk narrow ops). Only the
-        # residual c - base samples go through the compact chunk loop. When
-        # the marginal passes to reach max(c) cost no more rows than the
-        # residual's chunk quantization, go FULL dense (base = max(c)) and
-        # the chunk loop runs zero trips. This covers the workload extremes
-        # that dominate real scenes: sky tiles (min = max = 1: one dense
-        # pass, no chunks), at-cap tiles (all rays at c = S, the reference
-        # barbershop/pavillon in-cell regime, where compaction has nothing
-        # to skip and its machinery is pure loss), and mixed tiles (base
-        # passes replace ~base*T compact rows' worth of chunk machinery).
+        # Hybrid dense-base dispatch: shading slots [0, base) as whole-tile
+        # dense passes is EXACT for ANY base in [0, S] — dead (ray, slot)
+        # pairs pack z = 0 and are zeroed by the composite's live mask —
+        # so the base is a pure cost choice per tile. A dense pass costs T
+        # rows of bare encode+MLP; a residual chunk costs `chunk` gathered
+        # rows PLUS the machinery (one-hot builds, gather/scatter matmuls,
+        # hi/mid/lo reconstruction, ~20 narrow mid ops), together worth
+        # ~`dense_cost` extra dense-row equivalents (TPU-calibrated knob).
+        # Evaluating the exact cost at every candidate base (S+1 narrow
+        # vector ops) and taking the argmin covers the workload extremes in
+        # one rule: sky tiles (all c = 1: one dense pass, zero chunks),
+        # at-cap tiles (all c = S, the reference barbershop/pavillon
+        # in-cell regime: full dense, compaction machinery never runs), and
+        # mixed tiles, where the optimum sits at the count quantile where
+        # the marginal dense pass stops displacing enough residual rows.
         run_dense = dense_path and stop_after != "minimal"
         if run_dense:
-            max_cf = jnp.max(c)
-            min_cf = jnp.min(c)
-            resid_min = jnp.maximum(jnp.sum(c) - min_cf * T, 0.0)
-            resid_rows = jnp.ceil(resid_min * (1.0 / chunk)) * chunk
-            full = (max_cf - min_cf) * jnp.float32(T) <= resid_rows
-            base_f = jnp.where(full, max_cf, min_cf)
+            chunk_row_cost = jnp.float32(chunk + dense_cost)
+            best_cost = jnp.float32(np.inf)
+            best_b = jnp.float32(0.0)
+            for b in range(S + 1):
+                resid_b = jnp.sum(jnp.maximum(c - jnp.float32(b), 0.0))
+                cost = jnp.float32(b * T) \
+                    + jnp.ceil(resid_b * (1.0 / chunk)) * chunk_row_cost
+                take = cost < best_cost
+                best_b = jnp.where(take, jnp.float32(b), best_b)
+                best_cost = jnp.where(take, cost, best_cost)
+            base_f = best_b
             dense_trips = base_f.astype(jnp.int32)
         else:
             base_f = jnp.float32(0.0)

@@ -158,14 +158,15 @@ def test_dense_tile_fast_path_exact(setup):
     # context (no gather matmuls around the encode), so the CPU interpret
     # backend's sin/dot blocking differs by 1-2 ulp on a handful of pixels
     # — same class as the chunk-shape tolerance in the tests above
-    def check(**cfg_over):
+    def check(dense_cost=408, **cfg_over):
         old = {k: getattr(cfg, k) for k in cfg_over}
         try:
             for k, v in cfg_over.items():
                 setattr(cfg, k, v)
             rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64,
                                    dense_path=False)
-            rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+            rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                                   dense_cost=dense_cost)
         finally:
             for k, v in old.items():
                 setattr(cfg, k, v)
@@ -173,7 +174,11 @@ def test_dense_tile_fast_path_exact(setup):
         np.testing.assert_allclose(rgb_a, rgb_b, atol=5e-7, rtol=0)
         return counts_a
 
-    check()  # mixed counts: dispatch per tile
+    check()  # mixed counts: cost-argmin base per tile
+    # the base is exact at ANY cost weighting: force the argmin to the two
+    # ends of the candidate range on the same mixed-count workload
+    check(dense_cost=0)         # machinery free -> base rides low
+    check(dense_cost=100_000)   # machinery prohibitive -> full dense
     # threshold above every oracle output -> each ray keeps only the
     # argmax-fallback sample -> every tile dense at 1 pass
     counts = check(adaptiveSamplingThreshold=1e9)

@@ -111,6 +111,8 @@ def main():
                     kw["dynamic"] = bool(kw.pop("dyn"))
                 if "dense" in kw:
                     kw["dense_path"] = bool(kw.pop("dense"))
+                if "dcost" in kw:
+                    kw["dense_cost"] = int(kw.pop("dcost"))
                 if name == "v7":
                     mults = kw.pop("mults", "1-2-3-4-6-8")
                     kw["chunk_mults"] = tuple(
