@@ -93,6 +93,86 @@ def multi_object_spheres(far=8.0):
     ]
 
 
+def translucent_spheres(far=16.0):
+    """Glass-like shells: rays cross several semi-transparent surfaces at
+    distinct depths before terminating on an opaque interior object or the
+    enclosing room sphere, so the trained oracle must keep 2-4 depth bins
+    above threshold (the paper's multi-surface regime; VERDICT r2 #6 asks
+    for a trained export with measured avg >= 2 samples/px).
+
+    Entries are (center, radius, base_color, alpha)."""
+    return [
+        # overlapping translucent shells (both entry+exit surfaces count)
+        ((0.0, 0.0, 0.4), 1.25, (0.55, 0.8, 1.0), 0.45),
+        ((-0.5, 0.3, -0.4), 0.9, (1.0, 0.6, 0.45), 0.5),
+        ((0.6, -0.35, -0.2), 0.8, (0.6, 1.0, 0.55), 0.5),
+        ((0.15, 0.55, -1.2), 0.7, (1.0, 0.85, 0.4), 0.55),
+        # opaque interior objects (hard depth edges inside the glass)
+        ((0.05, -0.05, -0.1), 0.32, (0.95, 0.4, 0.75), 1.0),
+        ((-0.45, -0.5, -0.9), 0.3, (0.4, 0.55, 1.0), 1.0),
+        ((0.7, 0.55, -1.0), 0.28, (0.45, 0.9, 0.9), 1.0),
+        # enclosing room: every ray terminates on its interior wall, so
+        # there is no unbounded background (cameras sit inside, see the
+        # exit intersection)
+        ((0.0, 0.0, 0.0), 9.0, (0.72, 0.74, 0.8), 1.0),
+    ]
+
+
+def render_translucent_image(pose, rotation, w, h, fov, focal, spheres,
+                             far=16.0):
+    """Front-to-back alpha composite over every sphere surface along each
+    ray. Each sphere contributes its entry AND exit intersection as a
+    shaded 'shell' surface (for the enclosing room only the exit is in
+    front of the camera). Depth map records the first surface with alpha
+    >= 0.5 (the sharp structure dataset prep should range over).
+
+    spheres: list of (center(3,), radius, color(3,), alpha)."""
+    dirs = generate_ray_directions(w, h, fov, focal).reshape(-1, 3)
+    world_dirs = dirs @ rotation.T
+    o = np.broadcast_to(pose, world_dirs.shape)
+    n_rays = o.shape[0]
+
+    ts, cols, alps = [], [], []
+    for sc, sr, scol, sa in spheres:
+        oc = o - np.asarray(sc, np.float64)
+        b = np.sum(oc * world_dirs, axis=-1)
+        cq = np.sum(oc * oc, axis=-1) - sr ** 2
+        disc = b * b - cq
+        root = np.sqrt(np.maximum(disc, 0))
+        for sgn in (-1.0, 1.0):                  # entry, exit shells
+            t = -b + sgn * root
+            ok = (disc > 0) & (t > 1e-3)
+            p = oc + world_dirs * t[:, None]
+            normal = p / sr
+            shade = np.abs(normal) * 0.5 + 0.5
+            ts.append(np.where(ok, t, np.inf))
+            cols.append((shade * np.asarray(scol, np.float32)).clip(0, 1)
+                        .astype(np.float32))
+            alps.append(np.where(ok, np.float32(sa), np.float32(0.0)))
+
+    t_all = np.stack(ts, axis=1)                 # (rays, 2*n_spheres)
+    c_all = np.stack(cols, axis=1)
+    a_all = np.stack(alps, axis=1)
+    order = np.argsort(t_all, axis=1)
+    t_all = np.take_along_axis(t_all, order, axis=1)
+    a_all = np.take_along_axis(a_all, order, axis=1)
+    c_all = np.take_along_axis(c_all, order[..., None], axis=1)
+
+    img = np.zeros((n_rays, 3), np.float32)
+    trans = np.ones((n_rays,), np.float32)
+    depth = np.full((n_rays,), far, np.float32)
+    has_depth = np.zeros((n_rays,), bool)
+    for k in range(t_all.shape[1]):
+        a = np.where(np.isfinite(t_all[:, k]), a_all[:, k], 0.0)
+        img += (trans * a)[:, None] * c_all[:, k]
+        solid = (~has_depth) & (a >= 0.5)
+        depth[solid] = t_all[solid, k].astype(np.float32)
+        has_depth |= solid
+        trans *= 1.0 - a
+    return (img.clip(0, 1).reshape(h, w, 3),
+            np.minimum(depth, far).reshape(h, w))
+
+
 def make_scene(tmpdir, w=24, h=24, n_train=4, n_val=1, n_test=1,
                with_depth=False, objects="sphere", cell_frac=0.2):
     os.makedirs(tmpdir, exist_ok=True)
@@ -100,10 +180,17 @@ def make_scene(tmpdir, w=24, h=24, n_train=4, n_val=1, n_test=1,
     focal = 0.5 * w / np.tan(0.5 * fov)
     center = [0.0, 0.0, 3.0]
     far = 8.0
+    translucent = None
     if objects == "multi":
         # wider view cell -> real parallax -> multi-sample oracles
         cell_size = [1.2, 1.2, 1.2]
         spheres = multi_object_spheres(far)
+    elif objects == "translucent":
+        # glass shells + enclosing room: multi-surface rays everywhere
+        cell_size = [1.2, 1.2, 1.2]
+        far = 16.0
+        translucent = translucent_spheres(far)
+        spheres = None
     else:
         cell_size = [0.5, 0.5, 0.5]
         spheres = None
@@ -135,7 +222,11 @@ def make_scene(tmpdir, w=24, h=24, n_train=4, n_val=1, n_test=1,
             m = look_at_matrix(eye)
             pose = m[:3, 3]
             rot = m[:3, :3]
-            if spheres is not None:
+            if translucent is not None:
+                img, depth = render_translucent_image(pose, rot, w, h, fov,
+                                                      focal, translucent,
+                                                      far=far)
+            elif spheres is not None:
                 img, depth = render_spheres_image(pose, rot, w, h, fov,
                                                   focal, spheres, far=far)
             else:

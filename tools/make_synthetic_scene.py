@@ -33,10 +33,13 @@ def main():
     ap.add_argument("--depth", action="store_true",
                     help="write ground-truth *_depth.npz (needed for "
                          "depth-supervised oracle losses)")
-    ap.add_argument("--objects", choices=["sphere", "multi"],
+    ap.add_argument("--objects", choices=["sphere", "multi", "translucent"],
                     default="sphere",
                     help="'multi': layered multi-sphere scene with a wide "
-                         "view cell (parallax forces 2-3 oracle samples/px)")
+                         "view cell (parallax forces 2-3 oracle samples/px); "
+                         "'translucent': glass shells + enclosing room — "
+                         "every ray crosses several semi-transparent "
+                         "surfaces (multi-sample oracle regime)")
     ap.add_argument("--cell-frac", type=float, default=0.2,
                     help="pose jitter as a fraction of the view cell size")
     a = ap.parse_args()
