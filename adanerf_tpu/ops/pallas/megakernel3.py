@@ -111,10 +111,24 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
     # un-normalized (rayMarchNormalization[1] = None) and the dir encode
     # uses the normalized NDC direction (pipeline/features.py:574-577).
     use_ndc = getattr(config, "useNDC", False) is True
+    # raw-[0,1] z is keyed the same way as the realtime pipeline
+    # (realtime.py): NDC scenes AND the *NoDepthRange samplers
+    sampler1 = ""
+    if getattr(config, "rayMarchSampler", None):
+        sampler1 = config.rayMarchSampler[1] or ""
+    z_no_range = use_ndc or sampler1.endswith("NoDepthRange")
     norm1 = None
     if getattr(config, "rayMarchNormalization", None):
         norm1 = config.rayMarchNormalization[1]
-    norm_none = norm1 in (None, "None", "none")
+    # Only the explicit "None" STRING is the identity normalization; an
+    # absent key resolves to the MaxDepth default everywhere else
+    # (normalization.py _SWITCH), which this kernel does not implement —
+    # fail loudly instead of silently shading a different function.
+    norm_none = norm1 in ("None", "none")
+    if not norm_none and norm1 != "InverseSqrtDistCentered":
+        raise ValueError(
+            f"megakernel supports rayMarchNormalization[1] in "
+            f"('InverseSqrtDistCentered', 'None'); got {norm1!r}")
     if use_ndc:
         assert scene.w > 0 and scene.h > 0, \
             "NDC export needs the training resolution in dataset_info"
@@ -293,8 +307,8 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
                 live = (n_per_col > s).astype(jnp.float32)
                 z_u = (bin_s + 0.5) * cell
-                cols.append((z_u if use_ndc else transform.to_world(z_u, dr))
-                            * live)
+                cols.append((z_u if z_no_range
+                             else transform.to_world(z_u, dr)) * live)
             for s in range(n_slots):
                 sel = (rank == (s + 1)).astype(jnp.float32)
                 cols.append(jnp.sum(d * sel, axis=1, keepdims=True))

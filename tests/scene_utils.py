@@ -77,7 +77,7 @@ def render_spheres_image(pose, rotation, w, h, fov, focal, spheres,
     return img.reshape(h, w, 3), depth.reshape(h, w)
 
 
-def multi_object_spheres(far=8.0):
+def multi_object_spheres():
     """A layered arrangement with strong view-cell parallax: objects at
     depths ~2-6.5 with occlusion edges everywhere, so the trained oracle
     must hedge across depth bins (2-3 samples/ray class, VERDICT r2 #6)."""
@@ -93,7 +93,7 @@ def multi_object_spheres(far=8.0):
     ]
 
 
-def translucent_spheres(far=16.0):
+def translucent_spheres():
     """Glass-like shells: rays cross several semi-transparent surfaces at
     distinct depths before terminating on an opaque interior object or the
     enclosing room sphere, so the trained oracle must keep 2-4 depth bins
@@ -184,12 +184,12 @@ def make_scene(tmpdir, w=24, h=24, n_train=4, n_val=1, n_test=1,
     if objects == "multi":
         # wider view cell -> real parallax -> multi-sample oracles
         cell_size = [1.2, 1.2, 1.2]
-        spheres = multi_object_spheres(far)
+        spheres = multi_object_spheres()
     elif objects == "translucent":
         # glass shells + enclosing room: multi-surface rays everywhere
         cell_size = [1.2, 1.2, 1.2]
         far = 16.0
-        translucent = translucent_spheres(far)
+        translucent = translucent_spheres()
         spheres = None
     else:
         cell_size = [0.5, 0.5, 0.5]
@@ -254,7 +254,7 @@ def make_llff_scene(tmpdir, w=96, h=72, n_images=24, fov=0.8, seed=0):
     os.makedirs(os.path.join(tmpdir, "images"), exist_ok=True)
     focal = 0.5 * w / np.tan(0.5 * fov)
     far_plane = 8.0
-    spheres = multi_object_spheres(far_plane)
+    spheres = multi_object_spheres()
     base = np.array([0.0, 0.0, 3.0])
 
     import imageio.v2 as imageio

@@ -189,6 +189,48 @@ def test_dense_tile_fast_path_exact(setup):
     assert (counts == cfg.numRaymarchSamples[1]).all()
 
 
+def test_no_depth_range_sampler_matches_pipeline(setup):
+    """A *NoDepthRange sampler WITHOUT NDC keeps z as the raw [0,1] bin
+    depth in the realtime pipeline (realtime.py z_no_range); the kernel
+    must key its z branch the same way, not on useNDC alone."""
+    ts = setup
+    cfg = ts.config_file
+    old = cfg.rayMarchSampler
+    try:
+        cfg.rayMarchSampler = [old[0], "FromClassifiedDepthAdaptiveNoDepthRange"]
+        rt = RealtimeRenderer(ts.model_defs, ts.params, ts.scene,
+                              cfg, batch_size=128, dtype=None)
+        assert rt.z_no_range and not rt.use_ndc
+        dataset = ts.test_dataset
+        dirs = dataset.directions[:128]
+        pose = dataset.poses[0]
+        rot = dataset.rotations[0]
+        rgb_mk, counts_mk = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+        rgb_ref = rt.render_frame(pose, rot, dirs)
+        np.testing.assert_allclose(rgb_mk, rgb_ref, atol=2e-4)
+    finally:
+        cfg.rayMarchSampler = old
+
+
+def test_unsupported_normalization_rejected(setup):
+    """An absent rayMarchNormalization resolves to the MaxDepth default
+    elsewhere (normalization.py _SWITCH) — the kernel implements only
+    InverseSqrtDistCentered and the explicit \"None\" string, and must
+    refuse anything else instead of silently shading a different
+    function."""
+    ts = setup
+    cfg = ts.config_file
+    old = cfg.rayMarchNormalization
+    try:
+        for bad in (None, [old[0], None], [old[0], "MaxDepth"]):
+            cfg.rayMarchNormalization = bad
+            with pytest.raises(ValueError, match="rayMarchNormalization"):
+                make_megakernel_compact(ts.model_defs[0], ts.model_defs[1],
+                                        ts.scene, cfg, interpret=True)
+    finally:
+        cfg.rayMarchNormalization = old
+
+
 def test_batched_back_half_ndc_exact(ndc_setup):
     """v7 under the NDC ray transform matches the NDC realtime pipeline."""
     ts = ndc_setup

@@ -20,6 +20,12 @@ import time
 import numpy as np
 
 
+def _flag(v):
+    """Variant options arrive as int or string; 'false'/'off'/'no' are off
+    (bool('false') is True — the trap this avoids)."""
+    return str(v).lower() not in ("0", "false", "no", "off")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--export-dir", default=None)
@@ -83,6 +89,8 @@ def main():
                 numRaymarchSamples=[128, rt.max_samples],
                 adaptiveSamplingThreshold=rt.threshold,
                 posEnc=["nerf", "nerf"], posEncArgs=["10-4", "10-4"],
+                rayMarchNormalization=["InverseSqrtDistCentered",
+                                       "InverseSqrtDistCentered"],
                 accumulationMult="alpha")
         n_pix = directions.shape[0]
         p0, p1 = rt.params[0], rt.params[1]
@@ -108,9 +116,9 @@ def main():
                                       mk_cfg, **kw)(po, pn)
             elif name in ("v5", "v7"):
                 if "dyn" in kw:
-                    kw["dynamic"] = bool(kw.pop("dyn"))
+                    kw["dynamic"] = _flag(kw.pop("dyn"))
                 if "dense" in kw:
-                    kw["dense_path"] = bool(kw.pop("dense"))
+                    kw["dense_path"] = _flag(kw.pop("dense"))
                 if "dcost" in kw:
                     kw["dense_cost"] = int(kw.pop("dcost"))
                 if name == "v7":
@@ -121,7 +129,7 @@ def main():
                                               scene, mk_cfg, **kw)(po, pn)
             elif name == "v6":
                 if "dyn" in kw:
-                    kw["dyn_loop"] = bool(kw.pop("dyn"))
+                    kw["dyn_loop"] = _flag(kw.pop("dyn"))
                 run = make_megakernel_supertile(rt.oracle_def, rt.nerf_def,
                                                 scene, mk_cfg, **kw)(po, pn)
             else:

@@ -87,7 +87,7 @@ def main():
         w, h = (scene.w, scene.h) if scene.w > 0 else (800, 800)
         from viewer import orbit_poses
         eye = np.eye(3, dtype=np.float32)
-        frames = [{"pose": p, "rot": eye, "name": f"orbit{i:02d}"}
+        frames = [{"pose": p, "rot": eye, "name": f"orbit{i:02d}.png"}
                   for i, p in enumerate(orbit_poses(
                       scene.view_cell_center, 0.4 * scene.view_cell_radius,
                       args.orbit))]

@@ -263,12 +263,14 @@ def main():
     # on single-process runs; recipe in adanerf_tpu/parallel/mesh.py:44-49)
     from adanerf_tpu.parallel.mesh import init_multi_host
     proc = init_multi_host()
+    config = Config.init()
     # pay the per-process transfer-path init (first device->host readback
     # costs 10-530s on the axon tunnel, DEVNOTES) HERE, not at the epoch-100
-    # loss log inside the hot loop where it reads as a training stall
+    # loss log inside the hot loop where it reads as a training stall.
+    # AFTER Config.init so --help / bad flags fail instantly instead of
+    # behind a minutes-long backend init.
     import jax.numpy as _jnp
     float(_jnp.zeros(()))
-    config = Config.init()
     ts = TrainState()
     ts.initialize(config)
 
