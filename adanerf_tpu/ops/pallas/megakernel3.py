@@ -581,6 +581,14 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
             jax.lax.fori_loop(0, dense_trips, dense_body, 0)
 
+        if stop_after == "dense":  # profiling hook: front + dense base
+            # passes only (residual chunks skipped) — the hybrid ladder's
+            # midpoint between "zcols" and "compact"
+            out_ref[:] = jnp.concatenate(
+                [acc_ref[:, :], jnp.zeros((T, LANE - pw * S), jnp.float32)],
+                axis=1)
+            return
+
         if chunk_mults is None and dynamic:
             # v5d: ONE loop body, dynamic trip count = ceil(total/chunk).
             # Mosaic schedules @pl.when regions even when untaken (measured:

@@ -189,6 +189,24 @@ def test_dense_tile_fast_path_exact(setup):
     assert (counts == cfg.numRaymarchSamples[1]).all()
 
 
+@pytest.mark.parametrize("hook", ["oracle", "select", "zcols", "minimal",
+                                  "dense", "compact"])
+def test_stop_after_hooks_build_and_run(setup, hook):
+    """The profiling ladder (tools/bench_megakernel.py v5:stop_after=...)
+    must always build and run — BENCH.md's stage ledgers depend on every
+    rung. Hooks return partial data, so only shape and finiteness are
+    contractual."""
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:64]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+    rgb, _counts = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                        stop_after=hook)
+    assert rgb.shape == (64, 3)
+    assert np.all(np.isfinite(rgb))
+
+
 def test_no_depth_range_sampler_matches_pipeline(setup):
     """A *NoDepthRange sampler WITHOUT NDC keeps z as the raw [0,1] bin
     depth in the realtime pipeline (realtime.py z_no_range); the kernel
