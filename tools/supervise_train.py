@@ -25,8 +25,16 @@ import time
 
 
 def tunnel_ok(timeout_s: float) -> bool:
-    """One trivial readback in a fresh process (the only true fence)."""
-    code = ("import jax, jax.numpy as jnp; jax.devices(); "
+    """One trivial readback in a fresh process (the only true fence).
+
+    Honors ADANERF_PLATFORM (platform.py): a CPU-forced run has no tunnel
+    to probe, and a bare ``jax.devices()`` would touch — and hang on — the
+    axon backend this wrapper exists to avoid."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (f"import sys; sys.path.insert(0, {root!r}); "
+            "from adanerf_tpu.platform import apply_platform_env; "
+            "apply_platform_env(); "
+            "import jax, jax.numpy as jnp; jax.devices(); "
             "print(float(jnp.zeros(())))")
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
