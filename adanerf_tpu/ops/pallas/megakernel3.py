@@ -63,6 +63,167 @@ _PRECISIONS = {"default": jax.lax.Precision.DEFAULT,
                "highest": jax.lax.Precision.HIGHEST}
 
 
+def _ray_setup(dirs_ref, pose_ref, rot_ref, T, center, radius):
+    """Lane-packed per-ray setup shared by the fused kernel, the split
+    front kernel and the split back kernel (same reduce order as
+    ops.raymarch.ray_sphere_offset -> bit-identical to the XLA path)."""
+    dirs_pad = dirs_ref[:]
+    pose = pose_ref[:]
+    nds_pad = jnp.dot(dirs_pad, rot_ref[:],
+                      preferred_element_type=jnp.float32)
+    nds3 = nds_pad[:, 0:3]
+    o3 = jnp.broadcast_to(pose[:, 0:3], (T, 3))
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+    center3 = jnp.where(
+        lane3 == 0, jnp.float32(center[0]),
+        jnp.where(lane3 == 1, jnp.float32(center[1]),
+                  jnp.float32(center[2])))
+    omc3 = o3 - center3
+    u_dot = jnp.sum(nds3 * omc3, axis=1, keepdims=True)
+    delta = u_dot * u_dot - (jnp.sum(omc3 * omc3, axis=1, keepdims=True)
+                             - radius * radius)
+    dist = -u_dot + jnp.sqrt(jnp.maximum(delta, 0.0))
+    proj3 = o3 + nds3 * dist
+    return nds3, o3, proj3, lane3
+
+
+def _oracle_select_zp(nds3, proj3, keep_ref, ow, ot, out_ref, *,
+                      T, S, D, threshold, cell, z_no_range, transform, dr,
+                      oracle_depth, oracle_split, stop_after):
+    """Oracle MLP -> sort-free top-S/threshold select -> per-slot z/prob
+    packing (into keep_ref lanes [0, 2S)). Shared verbatim by the fused v5
+    kernel and the split front kernel so the two paths cannot drift.
+
+    Returns (z_cols, p_cols, n_per) — z/p as keep_ref slices — or None when
+    a profiling stop_after hook consumed the tile (out_ref written)."""
+    zero2 = jnp.zeros((T, 2), jnp.float32)
+    coords_o = jnp.concatenate([nds3, proj3, zero2], axis=1)
+    x0 = _lane_encode(coords_o, *ot)
+    d = _oracle_mlp(ow, x0, oracle_depth, split=oracle_split)[:, :D]
+
+    if stop_after == "oracle":  # profiling hook: ray setup + oracle MLP
+        out_ref[:] = d[:, :LANE] if D >= LANE else jnp.concatenate(
+            [d, jnp.zeros((T, LANE - D), jnp.float32)], axis=1)
+        return None
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
+    # top-S cap fast path: when NO ray in the tile has more than S bins
+    # above threshold, the capped selection equals the plain thresholded
+    # keep exactly (neither the cap nor the tie budget can bind) and the
+    # S argmax rounds + tie machinery are skipped. Trained oracles keep
+    # ~1-3 bins, so this is the common case; threshold 0 (dense configs)
+    # always takes the slow path (D > S bins "above" 0 only in the sense
+    # below when thresholding is active).
+    if threshold > 0.0:
+        over = jnp.max(jnp.sum((d >= threshold).astype(jnp.int32),
+                               axis=1))
+        needs_topk = over > S
+
+        @pl.when(needs_topk)
+        def _():
+            work = d
+            v_k = None
+            for _ in range(S):
+                v_k = jnp.max(work, axis=1, keepdims=True)
+                first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
+                                keepdims=True)
+                work = jnp.where(iota == first, jnp.float32(-jnp.inf),
+                                 work)
+            above = d > v_k
+            n_above = jnp.sum(above.astype(jnp.int32), axis=1,
+                              keepdims=True)
+            ties = d == v_k
+            tie_rank = _lane_cumsum(
+                ties.astype(jnp.float32)).astype(jnp.int32)
+            kb = above | (ties & (tie_rank <= (S - n_above)))
+            keep_ref[:, :D] = (kb & (d >= threshold)).astype(jnp.float32)
+
+        @pl.when(jnp.logical_not(needs_topk))
+        def _():
+            keep_ref[:, :D] = (d >= threshold).astype(jnp.float32)
+
+        keep = keep_ref[:, :D] > 0.0
+    else:
+        work = d
+        v_k = None
+        for _ in range(S):
+            v_k = jnp.max(work, axis=1, keepdims=True)
+            first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
+                            keepdims=True)
+            work = jnp.where(iota == first, jnp.float32(-jnp.inf), work)
+        above = d > v_k
+        n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
+        ties = d == v_k
+        tie_rank = _lane_cumsum(ties.astype(jnp.float32)).astype(jnp.int32)
+        keep = above | (ties & (tie_rank <= (S - n_above)))
+    any_keep = jnp.any(keep, axis=1, keepdims=True)
+    dmax = jnp.max(d, axis=1, keepdims=True)
+    am = jnp.min(jnp.where(d == dmax, iota, D), axis=1, keepdims=True)
+    keep = keep | (jnp.logical_not(any_keep) & (iota == am))
+    rowcum = _lane_cumsum(keep.astype(jnp.float32)).astype(jnp.int32)
+    n_per = jnp.sum(keep.astype(jnp.int32), axis=1)
+
+    if stop_after == "select":  # profiling hook: + top-S/threshold keep
+        out_ref[:] = jnp.broadcast_to(
+            n_per.astype(jnp.float32)[:, None], (T, LANE))
+        return None
+
+    keep_f = keep.astype(jnp.float32)
+    iota_f = iota.astype(jnp.float32)
+    # rank[t,d] = s+1 exactly at the (s+1)-th kept bin, 0 elsewhere
+    # (rowcum holds s+1 on a run starting there, keep picks the head),
+    # so each slot's one-hot is ONE wide compare; slot liveness is the
+    # narrow count compare n_per > s (no per-slot reduction needed).
+    # Like the composite, the per-slot build is tile-gated: slots beyond
+    # the tile's max live count pack exact zeros, so only ceil-to-{2,4,S}
+    # slots are built; keep_ref (dead after the select) carries z/p
+    # across the gates in lanes [0,S) / [S,2S).
+    rank = rowcum.astype(jnp.float32) * keep_f
+    n_per_col = n_per.astype(jnp.float32)[:, None]
+    max_n = jnp.max(n_per_col)
+
+    def build_zp(n_slots):
+        cols = []
+        for s in range(n_slots):
+            sel = (rank == (s + 1)).astype(jnp.float32)
+            bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
+            live = (n_per_col > s).astype(jnp.float32)
+            z_u = (bin_s + 0.5) * cell
+            cols.append((z_u if z_no_range
+                         else transform.to_world(z_u, dr)) * live)
+        for s in range(n_slots):
+            sel = (rank == (s + 1)).astype(jnp.float32)
+            cols.append(jnp.sum(d * sel, axis=1, keepdims=True))
+        pads = [] if n_slots == S else \
+            [jnp.zeros((T, S - n_slots), jnp.float32)]
+        keep_ref[:, :2 * S] = jnp.concatenate(
+            cols[:n_slots] + pads + cols[n_slots:] + pads, axis=1)
+
+    zp_bands = ([b for b in (2, 4, 8) if b < S] + [S]) if S > 4 else [S]
+    if len(zp_bands) > 1:
+        prev_b = 0.0
+        for bi, b in enumerate(zp_bands):
+            cond = max_n > prev_b
+            if bi + 1 < len(zp_bands):
+                cond = jnp.logical_and(cond, max_n <= float(b))
+
+            @pl.when(cond)
+            def _(b=b):
+                build_zp(b)
+            prev_b = float(b)
+    else:
+        build_zp(S)
+    z_cols = [keep_ref[:, s:s + 1] for s in range(S)]
+    p_cols = [keep_ref[:, S + s:S + s + 1] for s in range(S)]
+
+    if stop_after == "zcols":  # profiling hook: + per-slot z/prob packing
+        out_ref[:] = jnp.concatenate(
+            z_cols + p_cols
+            + [jnp.zeros((T, LANE - 2 * S), jnp.float32)], axis=1)
+        return None
+    return z_cols, p_cols, n_per
+
+
 def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             tile: int = 256, chunk: int = 256,
                             interpret: bool = False, precision: str = "default",
@@ -71,7 +232,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             nerf_split: bool = False,
                             chunk_mults=None, dynamic: bool = False,
                             dense_path: bool = True, dense_cost: int = 408,
-                            stop_after: str = ""):
+                            stop_after: str = "", front_input: bool = False):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
     megakernel.make_megakernel.
@@ -150,40 +311,33 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
     expand_s_c = np.kron(np.eye(S, dtype=np.float32),
                          np.ones((1, pw_build), np.float32))
 
-    def kernel(dirs_ref, pose_ref, rot_ref, tril_ref, eye_ref,
-               tile_pw_ref, expand_s_ref, *wrefs):
-        ot = wrefs[0:5]
-        nt = wrefs[5:10]
-        wrefs = wrefs[10:]
-        n_ow = len(_ORACLE_KEYS)
-        ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
-        nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-3])}
+    def kernel(dirs_ref, pose_ref, rot_ref, *rest):
+        if front_input:
+            zp_ref = rest[0]
+            rest = rest[1:]
+        tril_ref, eye_ref, tile_pw_ref, expand_s_ref = rest[0:4]
+        wrefs = rest[4:]
+        if front_input:
+            ot, ow = None, None
+        else:
+            ot = wrefs[0:5]
+            wrefs = wrefs[5:]
+        nt = wrefs[0:5]
+        wrefs = wrefs[5:]
+        if not front_input:
+            n_ow = len(_ORACLE_KEYS)
+            ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
+            wrefs = wrefs[n_ow:]
+        nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[:-3])}
         out_ref = wrefs[-3]
         acc_ref = wrefs[-2]  # (tile, pw*S) f32 scratch: per-slot raw rgba
         keep_ref = wrefs[-1]  # (tile, max(D, 2S)) f32: select + z/p carry
 
         T = tile
-        dirs_pad = dirs_ref[:]
-        pose = pose_ref[:]
 
         # ---- front half: identical to megakernel.py v3 ----
-        # ray setup runs on (T, 3) lane-packed rows (same reduce order as
-        # ops.raymarch.ray_sphere_offset -> bit-identical to the XLA path)
-        nds_pad = jnp.dot(dirs_pad, rot_ref[:],
-                          preferred_element_type=jnp.float32)
-        nds3 = nds_pad[:, 0:3]
-        o3 = jnp.broadcast_to(pose[:, 0:3], (T, 3))
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
-        center3 = jnp.where(
-            lane3 == 0, jnp.float32(center[0]),
-            jnp.where(lane3 == 1, jnp.float32(center[1]),
-                      jnp.float32(center[2])))
-        omc3 = o3 - center3
-        u_dot = jnp.sum(nds3 * omc3, axis=1, keepdims=True)
-        delta = u_dot * u_dot - (jnp.sum(omc3 * omc3, axis=1, keepdims=True)
-                                 - radius * radius)
-        dist = -u_dot + jnp.sqrt(jnp.maximum(delta, 0.0))
-        proj3 = o3 + nds3 * dist
+        nds3, o3, proj3, lane3 = _ray_setup(dirs_ref, pose_ref, rot_ref,
+                                            T, center, radius)
 
         # NDC shading rays (ops/raymarch.py::ndc_rays with near=1, built
         # from (T,1)/(T,3) lane ops; once per ray, ~25 narrow ops/tile)
@@ -214,134 +368,36 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         else:
             pack_o3, pack_d3 = proj3, nds3
 
-        zero2 = jnp.zeros((T, 2), jnp.float32)
-        coords_o = jnp.concatenate([nds3, proj3, zero2], axis=1)
-        x0 = _lane_encode(coords_o, *ot)
-        d = _oracle_mlp(ow, x0, oracle_def.depth, split=oracle_split)[:, :D]
 
-        if stop_after == "oracle":  # profiling hook: ray setup + oracle MLP
-            out_ref[:] = d[:, :LANE] if D >= LANE else jnp.concatenate(
-                [d, jnp.zeros((T, LANE - D), jnp.float32)], axis=1)
-            return
-
-        iota = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
-        # top-S cap fast path: when NO ray in the tile has more than S bins
-        # above threshold, the capped selection equals the plain thresholded
-        # keep exactly (neither the cap nor the tie budget can bind) and the
-        # S argmax rounds + tie machinery are skipped. Trained oracles keep
-        # ~1-3 bins, so this is the common case; threshold 0 (dense configs)
-        # always takes the slow path (D > S bins "above" 0 only in the sense
-        # below when thresholding is active).
-        if threshold > 0.0:
-            over = jnp.max(jnp.sum((d >= threshold).astype(jnp.int32),
-                                   axis=1))
-            needs_topk = over > S
-
-            @pl.when(needs_topk)
-            def _():
-                work = d
-                v_k = None
-                for _ in range(S):
-                    v_k = jnp.max(work, axis=1, keepdims=True)
-                    first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
-                                    keepdims=True)
-                    work = jnp.where(iota == first, jnp.float32(-jnp.inf),
-                                     work)
-                above = d > v_k
-                n_above = jnp.sum(above.astype(jnp.int32), axis=1,
-                                  keepdims=True)
-                ties = d == v_k
-                tie_rank = _lane_cumsum(
-                    ties.astype(jnp.float32)).astype(jnp.int32)
-                kb = above | (ties & (tie_rank <= (S - n_above)))
-                keep_ref[:, :D] = (kb & (d >= threshold)).astype(jnp.float32)
-
-            @pl.when(jnp.logical_not(needs_topk))
-            def _():
-                keep_ref[:, :D] = (d >= threshold).astype(jnp.float32)
-
-            keep = keep_ref[:, :D] > 0.0
+        if front_input:
+            # split mode: z/p/count were computed by the supertile front
+            # kernel (make_front_zp) and ride one HBM row per ray — exact
+            # f32 pass-through, so back-half numerics are unchanged. The
+            # copy into keep_ref keeps the dense-base path's zmat slice
+            # identical to fused mode.
+            zp = zp_ref[:]
+            keep_ref[:, :2 * S] = zp[:, :2 * S]
+            z_cols = [keep_ref[:, s:s + 1] for s in range(S)]
+            p_cols = [keep_ref[:, S + s:S + s + 1] for s in range(S)]
+            c = zp[:, 2 * S:2 * S + 1]
+            if stop_after == "zcols":  # profiling hook parity w/ fused mode
+                out_ref[:] = jnp.concatenate(
+                    [keep_ref[:, :2 * S],
+                     jnp.zeros((T, LANE - 2 * S), jnp.float32)], axis=1)
+                return
         else:
-            work = d
-            v_k = None
-            for _ in range(S):
-                v_k = jnp.max(work, axis=1, keepdims=True)
-                first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
-                                keepdims=True)
-                work = jnp.where(iota == first, jnp.float32(-jnp.inf), work)
-            above = d > v_k
-            n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
-            ties = d == v_k
-            tie_rank = _lane_cumsum(ties.astype(jnp.float32)).astype(jnp.int32)
-            keep = above | (ties & (tie_rank <= (S - n_above)))
-        any_keep = jnp.any(keep, axis=1, keepdims=True)
-        dmax = jnp.max(d, axis=1, keepdims=True)
-        am = jnp.min(jnp.where(d == dmax, iota, D), axis=1, keepdims=True)
-        keep = keep | (jnp.logical_not(any_keep) & (iota == am))
-        rowcum = _lane_cumsum(keep.astype(jnp.float32)).astype(jnp.int32)
-        n_per = jnp.sum(keep.astype(jnp.int32), axis=1)
-
-        if stop_after == "select":  # profiling hook: + top-S/threshold keep
-            out_ref[:] = jnp.broadcast_to(
-                n_per.astype(jnp.float32)[:, None], (T, LANE))
-            return
-
-        keep_f = keep.astype(jnp.float32)
-        iota_f = iota.astype(jnp.float32)
-        # rank[t,d] = s+1 exactly at the (s+1)-th kept bin, 0 elsewhere
-        # (rowcum holds s+1 on a run starting there, keep picks the head),
-        # so each slot's one-hot is ONE wide compare; slot liveness is the
-        # narrow count compare n_per > s (no per-slot reduction needed).
-        # Like the composite, the per-slot build is tile-gated: slots beyond
-        # the tile's max live count pack exact zeros, so only ceil-to-{2,4,S}
-        # slots are built; keep_ref (dead after the select) carries z/p
-        # across the gates in lanes [0,S) / [S,2S).
-        rank = rowcum.astype(jnp.float32) * keep_f
-        n_per_col = n_per.astype(jnp.float32)[:, None]
-        max_n = jnp.max(n_per_col)
-
-        def build_zp(n_slots):
-            cols = []
-            for s in range(n_slots):
-                sel = (rank == (s + 1)).astype(jnp.float32)
-                bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
-                live = (n_per_col > s).astype(jnp.float32)
-                z_u = (bin_s + 0.5) * cell
-                cols.append((z_u if z_no_range
-                             else transform.to_world(z_u, dr)) * live)
-            for s in range(n_slots):
-                sel = (rank == (s + 1)).astype(jnp.float32)
-                cols.append(jnp.sum(d * sel, axis=1, keepdims=True))
-            pads = [] if n_slots == S else \
-                [jnp.zeros((T, S - n_slots), jnp.float32)]
-            keep_ref[:, :2 * S] = jnp.concatenate(
-                cols[:n_slots] + pads + cols[n_slots:] + pads, axis=1)
-
-        zp_bands = ([b for b in (2, 4, 8) if b < S] + [S]) if S > 4 else [S]
-        if len(zp_bands) > 1:
-            prev_b = 0.0
-            for bi, b in enumerate(zp_bands):
-                cond = max_n > prev_b
-                if bi + 1 < len(zp_bands):
-                    cond = jnp.logical_and(cond, max_n <= float(b))
-
-                @pl.when(cond)
-                def _(b=b):
-                    build_zp(b)
-                prev_b = float(b)
-        else:
-            build_zp(S)
-        z_cols = [keep_ref[:, s:s + 1] for s in range(S)]
-        p_cols = [keep_ref[:, S + s:S + s + 1] for s in range(S)]
-
-        if stop_after == "zcols":  # profiling hook: + per-slot z/prob packing
-            out_ref[:] = jnp.concatenate(
-                z_cols + p_cols
-                + [jnp.zeros((T, LANE - 2 * S), jnp.float32)], axis=1)
-            return
+            front = _oracle_select_zp(
+                nds3, proj3, keep_ref, ow, ot, out_ref,
+                T=T, S=S, D=D, threshold=threshold, cell=cell,
+                z_no_range=z_no_range, transform=transform, dr=dr,
+                oracle_depth=oracle_def.depth, oracle_split=oracle_split,
+                stop_after=stop_after)
+            if front is None:  # a stop_after hook consumed the tile
+                return
+            z_cols, p_cols, n_per = front
+            c = n_per.astype(jnp.float32)[:, None]               # (T, 1)
 
         # ---- compaction ----
-        c = n_per.astype(jnp.float32)[:, None]                   # (T, 1)
         # Hybrid dense-base dispatch: shading slots [0, base) as whole-tile
         # dense passes is EXACT for ANY base in [0, S] — dead (ray, slot)
         # pairs pack z = 0 and are zeroed by the composite's live mask —
@@ -684,41 +740,50 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
     def build(packed_oracle, packed_nerf):
         nonlocal _ORACLE_KEYS, _NERF_KEYS
-        _ORACLE_KEYS = sorted(packed_oracle.keys())
+        _ORACLE_KEYS = sorted(packed_oracle.keys()) \
+            if packed_oracle is not None else []
         _NERF_KEYS = sorted(packed_nerf.keys())
 
         @jax.jit
-        def run(dirs_pad, pose8, rot_pad):
+        def run(dirs_pad, pose8, rot_pad, zp=None):
             B = dirs_pad.shape[0]
             in_specs = [pl.BlockSpec((tile, LANE), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((1, LANE), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM),
                         pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((tile, tile), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((tile, tile), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec(tile_pw_c.shape, lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec(expand_s_c.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)]
-            ws = []
-            for tbl in list(o_tables) + list(n_tables):
+            args = [jnp.asarray(dirs_pad), pose8, rot_pad]
+            if front_input:
+                in_specs.append(pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                                             memory_space=pltpu.VMEM))
+                args.append(zp)
+            in_specs += [pl.BlockSpec((tile, tile), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((tile, tile), lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec(tile_pw_c.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec(expand_s_c.shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)]
+            args += [jnp.asarray(tril), jnp.asarray(eye),
+                     jnp.asarray(tile_pw_c), jnp.asarray(expand_s_c)]
+            tables = list(n_tables) if front_input \
+                else list(o_tables) + list(n_tables)
+            for tbl in tables:
                 in_specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0),
                                              memory_space=pltpu.VMEM))
-                ws.append(jnp.asarray(tbl))
+                args.append(jnp.asarray(tbl))
             for k in _ORACLE_KEYS:
                 w = packed_oracle[k]
                 in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                              memory_space=pltpu.VMEM))
-                ws.append(w)
+                args.append(w)
             for k in _NERF_KEYS:
                 w = packed_nerf[k]
                 in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                              memory_space=pltpu.VMEM))
-                ws.append(w)
+                args.append(w)
             return pl.pallas_call(
                 kernel,
                 grid=(B // tile,),
@@ -729,9 +794,145 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 scratch_shapes=[pltpu.VMEM((tile, pw_build * S), jnp.float32),
                                 pltpu.VMEM((tile, max(D, 2 * S)), jnp.float32)],
                 interpret=interpret,
-            )(jnp.asarray(dirs_pad), pose8, rot_pad, jnp.asarray(tril),
-              jnp.asarray(eye), jnp.asarray(tile_pw_c),
-              jnp.asarray(expand_s_c), *ws)
+            )(*args)
+
+        return run
+
+    return build
+
+
+def make_front_zp(oracle_def, scene, config, tile: int = 1024,
+                  interpret: bool = False, oracle_split: bool = False):
+    """Standalone SUPERTILE front kernel: ray setup -> oracle MLP -> sort-
+    free select -> per-slot z/prob packing, emitting one (LANE,) f32 row per
+    ray: lanes [0, S) = z*live, [S, 2S) = oracle prob, lane 2S = live count.
+
+    Rationale (BENCH.md round-2 stage ledger): fused v5's front half costs
+    15.2 ms/frame at tile=256 — the oracle MLP runs at ~34% MXU (deep chains
+    of small matmuls are latency-bound) and the select/packing VPU ops issue
+    once per 256-ray tile. The front half has no per-sample state, so it
+    scales to 1024+-ray tiles (4x fewer op issues, 4x larger MXU batches)
+    where the full kernel could not (scoped-vmem OOM at tile=1024, BENCH.md
+    round-2 dead ends). make_megakernel_split composes this with the v5
+    back half (front_input=True) through one (B, 128) HBM row per ray
+    (~0.4 ms round trip at 800x800/800GB/s).
+
+    Same math as the fused front: both call _oracle_select_zp."""
+    S = config.numRaymarchSamples[1]
+    threshold = float(config.adaptiveSamplingThreshold)
+    D = oracle_def.n_out
+    cell = 1.0 / D
+    fp0, fd0 = [int(x) for x in config.posEncArgs[0].split('-')]
+    center = np.asarray(scene.view_cell_center, np.float32)
+    radius = float(scene.view_cell_radius)
+    dr = scene.depth_range_warped
+    transform = scene.depth_transform
+    use_ndc = getattr(config, "useNDC", False) is True
+    sampler1 = ""
+    if getattr(config, "rayMarchSampler", None):
+        sampler1 = config.rayMarchSampler[1] or ""
+    z_no_range = use_ndc or sampler1.endswith("NoDepthRange")
+    assert 2 * S + 1 <= LANE
+    o_tables = lane_encode_tables([([0, 1, 2], fd0), ([3, 4, 5], fp0)])
+
+    _KEYS = None
+
+    def kernel(dirs_ref, pose_ref, rot_ref, *wrefs):
+        ot = wrefs[0:5]
+        wrefs = wrefs[5:]
+        ow = {k: r for k, r in zip(_KEYS, wrefs[:-2])}
+        out_ref = wrefs[-2]
+        keep_ref = wrefs[-1]
+        T = tile
+        nds3, _o3, proj3, _lane3 = _ray_setup(dirs_ref, pose_ref, rot_ref,
+                                              T, center, radius)
+        front = _oracle_select_zp(
+            nds3, proj3, keep_ref, ow, ot, out_ref,
+            T=T, S=S, D=D, threshold=threshold, cell=cell,
+            z_no_range=z_no_range, transform=transform, dr=dr,
+            oracle_depth=oracle_def.depth, oracle_split=oracle_split,
+            stop_after="")
+        _z, _p, n_per = front
+        out_ref[:] = jnp.concatenate(
+            [keep_ref[:, :2 * S], n_per.astype(jnp.float32)[:, None],
+             jnp.zeros((T, LANE - 2 * S - 1), jnp.float32)], axis=1)
+
+    def build(packed_oracle):
+        nonlocal _KEYS
+        _KEYS = sorted(packed_oracle.keys())
+
+        @jax.jit
+        def run(dirs_pad, pose8, rot_pad):
+            B = dirs_pad.shape[0]
+            in_specs = [pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((1, LANE), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)]
+            ws = []
+            for tbl in o_tables:
+                in_specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(jnp.asarray(tbl))
+            for k in _KEYS:
+                w = packed_oracle[k]
+                in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                             memory_space=pltpu.VMEM))
+                ws.append(w)
+            return pl.pallas_call(
+                kernel,
+                grid=(B // tile,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((tile, max(D, 2 * S)),
+                                           jnp.float32)],
+                interpret=interpret,
+            )(jnp.asarray(dirs_pad), pose8, rot_pad, *ws)
+
+        return run
+
+    return build
+
+
+def make_megakernel_split(oracle_def, nerf_def, scene, config,
+                          front_tile: int = 1024, tile: int = 256,
+                          interpret: bool = False, oracle_split: bool = False,
+                          **back_kw):
+    """Two-kernel split (v5s): supertile front (make_front_zp) + v5 back
+    half (make_megakernel_compact(front_input=True)), composed under one
+    jit. Contract identical to make_megakernel_compact's build/run.
+
+    fp32 outputs are bit-identical to the fused kernel: the z/p/count rows
+    cross HBM as exact f32 and both halves run the same shared code
+    (_ray_setup / _oracle_select_zp); see tests/test_megakernel3.py."""
+    front = make_front_zp(oracle_def, scene, config, tile=front_tile,
+                          interpret=interpret, oracle_split=oracle_split)
+    back = make_megakernel_compact(oracle_def, nerf_def, scene, config,
+                                   tile=tile, interpret=interpret,
+                                   oracle_split=oracle_split,
+                                   front_input=True, **back_kw)
+
+    def build(packed_oracle, packed_nerf):
+        frun = front(packed_oracle)
+        brun = back(None, packed_nerf)
+
+        @jax.jit
+        def run(dirs_pad, pose8, rot_pad):
+            B = dirs_pad.shape[0]
+            Bf = front_tile * ((B + front_tile - 1) // front_tile)
+            if Bf != B:
+                # callers pad to the BACK tile; the supertile front may need
+                # more. Zero rows select >= 1 dummy sample each, but their
+                # zp rows are sliced away before the back kernel sees them.
+                fdirs = jnp.zeros((Bf, LANE), jnp.float32).at[:B].set(
+                    dirs_pad)
+                zp = frun(fdirs, pose8, rot_pad)[:B]
+            else:
+                zp = frun(dirs_pad, pose8, rot_pad)
+            return brun(dirs_pad, pose8, rot_pad, zp)
 
         return run
 

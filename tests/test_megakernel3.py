@@ -189,6 +189,35 @@ def test_dense_tile_fast_path_exact(setup):
     assert (counts == cfg.numRaymarchSamples[1]).all()
 
 
+@pytest.mark.parametrize("front_tile", [64, 128])
+def test_split_front_matches_fused(setup, front_tile):
+    """v5s (supertile front kernel + v5 back half, z/p/count through HBM)
+    must be BIT-identical to fused v5 in fp32: both halves run the same
+    shared code (_ray_setup/_oracle_select_zp) and the hand-off rows are
+    exact f32. front_tile=128 with 192 rays also exercises the front-pad
+    path (Bf=256 > B)."""
+    from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_split
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:192]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_f, counts_f = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+
+    po = pack_oracle_weights(ts.model_defs[0], ts.params[0],
+                             dtype=jnp.float32)
+    pn = pack_nerf_weights(ts.model_defs[1], ts.params[1], dtype=jnp.float32)
+    split = make_megakernel_split(ts.model_defs[0], ts.model_defs[1],
+                                  ts.scene, ts.config_file,
+                                  front_tile=front_tile, tile=64, chunk=64,
+                                  interpret=True)(po, pn)
+    out = np.asarray(split(*prep_inputs(jnp.asarray(dirs), jnp.asarray(pose),
+                                        jnp.asarray(rot))))
+    np.testing.assert_array_equal(out[:, 3].astype(int), counts_f)
+    np.testing.assert_array_equal(out[:, :3], rgb_f)
+
+
 @pytest.mark.parametrize("hook", ["oracle", "select", "zcols", "minimal",
                                   "dense", "compact"])
 def test_stop_after_hooks_build_and_run(setup, hook):
