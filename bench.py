@@ -220,7 +220,8 @@ def main():
                                                        pack_nerf_weights,
                                                        pack_oracle_weights,
                                                        prep_inputs)
-        from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
+        from adanerf_tpu.ops.pallas.megakernel3 import (
+            make_megakernel_compact, make_megakernel_split)
 
         from viewer import block_permutation
 
@@ -253,6 +254,9 @@ def main():
             return (mrun(n2) - mrun(n1)) / (n2 - n1)
 
         for name, build in [
+                ("pallas-megakernel-v5s", lambda: make_megakernel_split(
+                    rt.oracle_def, rt.nerf_def, scene, mk_cfg,
+                    tile=256, chunk=256, dynamic=True)(po, pn)),
                 ("pallas-megakernel-v5d", lambda: make_megakernel_compact(
                     rt.oracle_def, rt.nerf_def, scene, mk_cfg,
                     tile=256, chunk=256, dynamic=True)(po, pn)),
