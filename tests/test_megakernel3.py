@@ -362,6 +362,32 @@ def test_compact_ndc_matches_pipeline(ndc_setup):
     np.testing.assert_allclose(rgb_mk, rgb_ref, atol=2e-4)
 
 
+def test_split_front_ndc_matches_fused(ndc_setup):
+    """v5s on an NDC config: make_front_zp re-derives the z_no_range keying
+    (raw [0,1] z for NDC / *NoDepthRange), so the split must stay BIT-
+    identical to fused v5 there too."""
+    from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_split
+    ts = ndc_setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:128]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_f, counts_f = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+
+    po = pack_oracle_weights(ts.model_defs[0], ts.params[0],
+                             dtype=jnp.float32)
+    pn = pack_nerf_weights(ts.model_defs[1], ts.params[1], dtype=jnp.float32)
+    split = make_megakernel_split(ts.model_defs[0], ts.model_defs[1],
+                                  ts.scene, ts.config_file,
+                                  front_tile=128, tile=64, chunk=64,
+                                  interpret=True)(po, pn)
+    out = np.asarray(split(*prep_inputs(jnp.asarray(dirs), jnp.asarray(pose),
+                                        jnp.asarray(rot))))
+    np.testing.assert_array_equal(out[:, 3].astype(int), counts_f)
+    np.testing.assert_array_equal(out[:, :3], rgb_f)
+
+
 def test_block_permutation_roundtrip():
     import viewer as viewer_mod
 
