@@ -232,6 +232,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             nerf_split: bool = False,
                             chunk_mults=None, dynamic: bool = False,
                             dense_path: bool = True, dense_cost: int = 408,
+                            dense_group: int = 1,
                             stop_after: str = "", front_input: bool = False):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
@@ -415,18 +416,28 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         # the marginal dense pass stops displacing enough residual rows.
         run_dense = dense_path and stop_after != "minimal"
         if run_dense:
+            # Candidate bases are quantized to the dense GROUP width G: a
+            # dense trip always shades a (G*T, 128) batch (one G*T-row MLP
+            # chain instead of G latency-bound T-row chains — the same
+            # batching v3 gets from its static S*T stack), so the cost of
+            # base b is ceil(b/G) full trips. Restricting candidates to
+            # multiples of G (plus S itself, whose phantom slots >= S
+            # scatter to nothing) keeps pass coverage == base exactly — a
+            # covered live slot past base would be double-shaded by the
+            # residual chunks.
+            G = max(1, int(dense_group))
             chunk_row_cost = jnp.float32(chunk + dense_cost)
             best_cost = jnp.float32(np.inf)
             best_b = jnp.float32(0.0)
-            for b in range(S + 1):
+            for b in sorted(set(range(0, S + 1, G)) | {S}):
                 resid_b = jnp.sum(jnp.maximum(c - jnp.float32(b), 0.0))
-                cost = jnp.float32(b * T) \
+                cost = jnp.float32(math.ceil(b / G) * G * T) \
                     + jnp.ceil(resid_b * (1.0 / chunk)) * chunk_row_cost
                 take = cost < best_cost
                 best_b = jnp.where(take, jnp.float32(b), best_b)
                 best_cost = jnp.where(take, cost, best_cost)
             base_f = best_b
-            dense_trips = base_f.astype(jnp.int32)
+            dense_trips = jnp.ceil(base_f * (1.0 / G)).astype(jnp.int32)
         else:
             base_f = jnp.float32(0.0)
         cr = jnp.maximum(c - base_f, 0.0)                        # residual
@@ -620,19 +631,38 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
             p_r = jax.lax.broadcasted_iota(jnp.int32, (pw, pw * S), 0)
             p_c = jax.lax.broadcasted_iota(jnp.int32, (pw, pw * S), 1)
 
-            def dense_body(s, carry):
-                sf = s.astype(jnp.float32)
-                z_s = jnp.sum(zmat * (slot_iota == sf).astype(jnp.float32),
-                              axis=1, keepdims=True)
-                rgba = shade_coords(pack_o3, pack_d3, z_s)
-                if use_split:  # same split+0/1-matmul scatter numerics as
-                    # the gathered path (hi bf16-exact, residual lanes)
-                    rg_hi = rgba.astype(jnp.bfloat16).astype(jnp.float32)
-                    rgba = jnp.concatenate([rg_hi, rgba - rg_hi], axis=1)
-                shift = (p_c == p_r + pw * s).astype(jnp.float32)
-                acc_ref[:, :] += jnp.dot(rgba, shift,
-                                         preferred_element_type=jnp.float32,
-                                         precision=prec)
+            def dense_body(k, carry):
+                # trip k shades slots [k*G, k*G + G) stacked into ONE
+                # (G*T, 128) encode+MLP batch; per-slot scatter stays a
+                # static unroll of 0/1-shift matmuls. Slots >= S (the S
+                # non-multiple-of-G tail) match no slot_iota lane (z = 0)
+                # and no shift column (pw*s >= pw*S) — shaded garbage
+                # scatters to nothing.
+                s0 = k * jnp.int32(G)
+                zs = []
+                for g in range(G):
+                    sf = (s0 + g).astype(jnp.float32)
+                    zs.append(jnp.sum(
+                        zmat * (slot_iota == sf).astype(jnp.float32),
+                        axis=1, keepdims=True))
+                if G == 1:
+                    co_g, cd_g, z_g = pack_o3, pack_d3, zs[0]
+                else:
+                    co_g = jnp.concatenate([pack_o3] * G, axis=0)
+                    cd_g = jnp.concatenate([pack_d3] * G, axis=0)
+                    z_g = jnp.concatenate(zs, axis=0)        # (G*T, 1)
+                rgba_g = shade_coords(co_g, cd_g, z_g)       # (G*T, 4)
+                for g in range(G):
+                    rgba = rgba_g[g * T:(g + 1) * T]
+                    if use_split:  # same split+0/1-matmul scatter numerics
+                        # as the gathered path (hi bf16-exact, residual
+                        # lanes)
+                        rg_hi = rgba.astype(jnp.bfloat16).astype(jnp.float32)
+                        rgba = jnp.concatenate([rg_hi, rgba - rg_hi], axis=1)
+                    shift = (p_c == p_r + pw * (s0 + g)).astype(jnp.float32)
+                    acc_ref[:, :] += jnp.dot(rgba, shift,
+                                             preferred_element_type=jnp.float32,
+                                             precision=prec)
                 return carry
 
             jax.lax.fori_loop(0, dense_trips, dense_body, 0)
@@ -889,6 +919,12 @@ def make_front_zp(oracle_def, scene, config, tile: int = 1024,
                 out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
                 scratch_shapes=[pltpu.VMEM((tile, max(D, 2 * S)),
                                            jnp.float32)],
+                # The supertile stack sits just past Mosaic's conservative
+                # 16 MB scoped-vmem default (16.65M at tile=1024 on v5e,
+                # which has 128 MB); raise the limit rather than shrink the
+                # tile — the whole point of the split is the 1024+ batch.
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024),
                 interpret=interpret,
             )(jnp.asarray(dirs_pad), pose8, rot_pad, *ws)
 

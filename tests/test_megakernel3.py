@@ -140,6 +140,31 @@ def test_dynamic_chunk_loop_exact(setup):
     np.testing.assert_array_equal(rgb_a, rgb_b)
 
 
+@pytest.mark.parametrize("group", [2, 3, 4])
+def test_dense_group_exact(setup, group):
+    """Grouped dense-base passes (G slots stacked into one (G*T, 128)
+    encode+MLP batch per fori_loop trip) are a pure batching/cost knob: the
+    candidate bases quantize to multiples of G (plus S), so pass coverage
+    always equals the chosen base and no live slot is double-shaded. Checked
+    including G=3 (S=8 non-multiple: the phantom slots >= S scatter to
+    nothing)."""
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:192]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                           dynamic=True)
+    rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                           dynamic=True, dense_group=group)
+    np.testing.assert_array_equal(counts_a, counts_b)
+    # a different base moves samples between the dense and gathered paths
+    # (same row-local math, different fusion context) and G>1 changes the
+    # MLP batch blocking — same ulp class as the chunk-shape tolerance
+    np.testing.assert_allclose(rgb_a, rgb_b, atol=5e-7, rtol=0)
+
+
 def test_dense_tile_fast_path_exact(setup):
     """Tiles where max(count) whole-tile dense passes cost no more MLP rows
     than the compact chunk loop dispatch to the direct (no-gather) dense
