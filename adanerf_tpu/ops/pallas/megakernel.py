@@ -258,13 +258,16 @@ def _lane_encode(coords8, sel_ref, freq_ref, ident_ref, sin_ref, cos_ref):
 
 def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
                     interpret: bool = False, oracle_split: bool = False,
-                    nerf_split: bool = False):
+                    nerf_split: bool = False, stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf, pose8, rot_pad, dirs_pad) ->
     (rgb (B, 128 [rgb|count]),) fused frame pipeline.
 
     dirs_pad: (B, 128) rows [dir(3) | 0...] camera-space unit dirs.
     pose8: (1, 128) [pose(3) | 0]; rot_pad: (128, 128) with rot^T in [:3,:3].
     oracle_split/nerf_split: hi/lo-split MLP activations (see _mm).
+    stop_after: profiling hook — 'oracle' | 'select' | 'encode' truncate the
+    kernel after that stage (out_ref still written), mirroring the v5 hooks
+    (megakernel3.py) so tools/bench_megakernel.py can ladder either kernel.
     """
     if getattr(config, "useNDC", False) is True:
         raise ValueError("NDC scenes: only the v5 megakernel implements the "
@@ -343,6 +346,11 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
         x0 = _lane_encode(coords_o, *ot)
         oracle_out = _oracle_mlp(ow, x0, oracle_def.depth,
                                  split=oracle_split)[:, :D]
+        if stop_after == "oracle":  # profiling hook
+            out_ref[:] = jnp.concatenate(
+                [oracle_out[:, :4], jnp.zeros((T, LANE - 4), jnp.float32)],
+                axis=1)
+            return
 
         # adaptive select (threshold/top-S, bin order) — same selection semantics as ops.samplers.adaptive_select
         d = oracle_out
@@ -370,6 +378,11 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
 
         keep_f = keep.astype(jnp.float32)
         iota_f = iota.astype(jnp.float32)
+        if stop_after == "select":  # profiling hook
+            out_ref[:] = jnp.concatenate(
+                [keep_f[:, :3], n_per.astype(jnp.float32)[:, None],
+                 jnp.zeros((T, LANE - 4), jnp.float32)], axis=1)
+            return
 
         # SLOT-BATCHED shading: the per-slot geometry/encodes are cheap
         # unrolled elementwise blocks, but all S slots' MLP inputs stack into
@@ -406,6 +419,13 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
             xs.append(_lane_encode(coords_n, *nt))
 
         x_all = jnp.concatenate(xs, axis=0)          # (S*T, 128)
+        if stop_after == "encode":  # profiling hook: + slot geometry/encode
+            acc = xs[0][:, 0:4]
+            for s in range(1, S):
+                acc = acc + xs[s][:, 0:4]
+            out_ref[:] = jnp.concatenate(
+                [acc, jnp.zeros((T, LANE - 4), jnp.float32)], axis=1)
+            return
         rgb_raw, alpha_raw = _nerf_mlp(nw, x_all, nerf_def,
                                        split=nerf_split)
 
@@ -469,6 +489,13 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
                 out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
+                # tiles past 256 exceed Mosaic's conservative 16 MB
+                # scoped-vmem default; raise it only then (v5e has 128 MB —
+                # an unconditional override would fail compilation on
+                # smaller-VMEM generations even for tiles that fit)
+                compiler_params=(pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024)
+                    if tile > 256 else None),
                 interpret=interpret,
             )(dirs_pad, pose8, rot_pad, *ws)
 

@@ -437,7 +437,11 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 best_b = jnp.where(take, jnp.float32(b), best_b)
                 best_cost = jnp.where(take, cost, best_cost)
             base_f = best_b
-            dense_trips = jnp.ceil(base_f * (1.0 / G)).astype(jnp.int32)
+            # exact ceil-div: float32 division is correctly rounded, so an
+            # integer quotient comes out exact; the reciprocal-multiply form
+            # (base * (1/G)) can round an exact multiple UP one trip (e.g.
+            # G=7, base=21), double-shading slots [base, trips*G)
+            dense_trips = jnp.ceil(base_f / jnp.float32(G)).astype(jnp.int32)
         else:
             base_f = jnp.float32(0.0)
         cr = jnp.maximum(c - base_f, 0.0)                        # residual
@@ -823,6 +827,12 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
                 scratch_shapes=[pltpu.VMEM((tile, pw_build * S), jnp.float32),
                                 pltpu.VMEM((tile, max(D, 2 * S)), jnp.float32)],
+                # same gated scoped-vmem raise as make_megakernel: large
+                # tiles and large S (16 static chunk regions at S=16 hit
+                # 17.75 MB vs the 16 MB default) need it on v5e (128 MB)
+                compiler_params=(pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024)
+                    if (tile > 256 or S > 8) else None),
                 interpret=interpret,
             )(*args)
 
@@ -923,8 +933,13 @@ def make_front_zp(oracle_def, scene, config, tile: int = 1024,
                 # 16 MB scoped-vmem default (16.65M at tile=1024 on v5e,
                 # which has 128 MB); raise the limit rather than shrink the
                 # tile — the whole point of the split is the 1024+ batch.
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=96 * 1024 * 1024),
+                # Only override when the tile actually needs it: on TPU
+                # generations with less than 96 MB VMEM an unconditional
+                # override would fail Mosaic compilation even for small
+                # tiles that fit the default budget.
+                compiler_params=(pltpu.CompilerParams(
+                    vmem_limit_bytes=96 * 1024 * 1024)
+                    if tile >= 1024 else None),
                 interpret=interpret,
             )(jnp.asarray(dirs_pad), pose8, rot_pad, *ws)
 

@@ -2,16 +2,30 @@
 """Benchmark: AdaNeRF adaptive real-time rendering throughput on one TPU chip.
 
 Replicates the reference viewer's benchmark workload
-(adanerf_real_time_viewer/README.md:26-28): 800x800 frame, 80,000-ray
-batches (8 per frame), full-size networks (oracle relu 256x8 -> 128 bins,
-shading NeRF 256x8, posEnc 10-4), adaptiveSamplingThreshold=0.2, max 8
-samples/ray — through the fully on-device bucketed-compaction pipeline
-(adanerf_tpu/realtime.py): one jitted program per frame, in-graph capacity
-bucketing via lax.switch, zero host round-trips inside the frame.
+(adanerf_real_time_viewer/README.md:26-28): 800x800 frame, full-size
+networks (oracle relu 256x8 -> 128 bins, shading NeRF 256x8, posEnc 10-4),
+adaptiveSamplingThreshold=0.2, max 8 samples/ray — through the fused
+whole-frame Pallas megakernel (adanerf_tpu/ops/pallas/megakernel3.py) with
+the bucketed XLA pipeline (adanerf_tpu/realtime.py) as fallback.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is FPS / 30 (BASELINE.json north star: >=30 FPS-equivalent at
 800x800 on one v5e chip).
+
+Methodology (round-4 hardening after the round-3 claim/record discrepancy):
+* every variant is timed REPEATS times with chain-slope timing and the MIN
+  is kept (robust to transient host/tunnel contention);
+* a contention guard samples /proc for other busy processes before and
+  after the run and flags the result if any were seen;
+* the per-variant millisecond series and the active kernel configuration
+  (tile, chunk, dynamic, avg samples/px, capacity) are printed to stderr
+  as a JSON tail so a slow headline is diagnosable from the artifact alone;
+* the frame is timed THROUGH to a scan-order RGBA image: the kernel renders
+  in 16x16 block order (square tiles keep the tile-gated adaptive machinery
+  coherent) and the inverse is a structured slice+transpose (~1 ms), not a
+  row gather (8.5 ms — the round-3 BENCH_r03-vs-BENCH.md 37-vs-28.6 ms
+  discrepancy was exactly this gather, present here and absent in
+  tools/bench_megakernel.py).
 
 Timing notes for the tunnel-attached TPU: block_until_ready is not a
 completion fence and the FIRST device->host readback of a process costs
@@ -27,6 +41,44 @@ import time
 from types import SimpleNamespace
 
 import numpy as np
+
+REPEATS = 3
+N1, N2 = 3, 13
+
+
+def busy_processes():
+    """Other live processes with meaningful recent CPU: pids whose utime
+    delta over a 0.2 s window exceeds 10% of a core. Detection only —
+    NEVER sends signals (see driver rules)."""
+    me = os.getpid()
+
+    def sample():
+        out = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                out[int(pid)] = int(parts[11]) + int(parts[12])
+            except (OSError, IndexError, ValueError):
+                continue
+        return out
+
+    a = sample()
+    time.sleep(0.2)
+    b = sample()
+    hz = os.sysconf("SC_CLK_TCK")
+    busy = []
+    for pid, t1 in b.items():
+        if pid in a and (t1 - a[pid]) / hz / 0.2 > 0.10:
+            try:
+                with open(f"/proc/{pid}/cmdline") as f:
+                    cmd = f.read().replace("\0", " ").strip()[:80]
+            except OSError:
+                cmd = "?"
+            busy.append(f"{pid}:{cmd}")
+    return busy
 
 
 def build_workload(w=800, h=800, max_samples=8, threshold=0.2,
@@ -121,14 +173,17 @@ def main():
                          "dir) instead of the calibrated random workload")
     ap.add_argument("--synthetic", action="store_true",
                     help="force the calibrated random-weights workload")
+    ap.add_argument("--repeats", type=int, default=REPEATS)
     cli = ap.parse_args()
+
+    contention_before = busy_processes()
 
     # default workload: the in-repo trained adaptive model (S=8, thr 0.2,
     # trained by the demo recipes in BENCH.md) so FPS and PSNR are measured
-    # on the SAME model. The multi-object scene (oracle keeps ~2-3
-    # samples/px — the paper-class representative workload) outranks the
-    # single-sphere scene (~1.0 smp/px best case); calibrated random
-    # weights remain the fallback / --synthetic path.
+    # on the SAME model. The multi-object scene (oracle keeps ~1.3-1.4
+    # samples/px with real occlusion structure) outranks the single-sphere
+    # scene (~1.0 smp/px best case); calibrated random weights remain the
+    # fallback / --synthetic path.
     here = os.path.dirname(os.path.abspath(__file__))
     if cli.export_dir is None and not cli.synthetic:
         for name in ("trained_mscene_export", "trained_sphere_export"):
@@ -165,12 +220,10 @@ def main():
                          * 0.38 * scene.view_cell_radius, jnp.float32)
              for _ in range(32)]
     rot = jnp.eye(3)
-
-    # probe the live sample counts once with an oracle-only pass, then
-    # compile ONE fixed-capacity frame program (the TRT optimization-profile
-    # pattern; in-graph lax.switch costs ~14 ms/batch on v5e)
     B = rt.batch_size
 
+    # average live samples/px over the pose set: one cheap oracle-only
+    # scan per pose (no full-pipeline compile needed for this statistic)
     @jax.jit
     def probe_counts(p0, pose, rotation, dirs_full):
         nb = n_pix // B
@@ -183,102 +236,123 @@ def main():
         _c, n_acts = jax.lax.scan(f, 0, db)
         return n_acts
 
+    counts = [np.asarray(probe_counts(p0, pse, rot, dirs_dev))
+              for pse in poses[:4]]
+    avg_samples = float(np.mean([c.sum() for c in counts])) / n_pix
+
     t0 = time.perf_counter()
-    counts = []
-    for pse in poses[:4]:
-        counts.append(np.asarray(probe_counts(p0, pse, rot, dirs_dev)))
-    capacity = rt.choose_frame_capacity(np.concatenate(counts), headroom=1.15)
-    render = rt.make_frame_renderer(n_pix, capacity=capacity)
+    compile_s = 0.0
+    per_frame_s = None
+    path = None
+    detail = {"repeats": cli.repeats, "variants": {}}
 
-    # compile + warm
-    frame, n_acts = render(p0, p1, poses[0], rot, dirs_dev)
-    float(probe(frame))
-    compile_s = time.perf_counter() - t0
-
-    def run(n_frames):
-        t0 = time.perf_counter()
-        last = None
-        acts = None
-        for f in range(n_frames):
-            last, acts = render(p0, p1, poses[f % len(poses)], rot, dirs_dev)
-        float(probe(last))
-        return time.perf_counter() - t0, acts
-
-    n1, n2 = 3, 13
-    dt1, _ = run(n1)
-    dt2, n_acts = run(n2)
-    per_frame_s = (dt2 - dt1) / (n2 - n1)
-    avg_samples = float(np.sum(np.asarray(n_acts))) / n_pix
-    path = "xla-pipeline"
+    def timed_min(run_once, label):
+        """Min over REPEATS chain-slope passes; returns seconds/frame and
+        stores the series in the detail ledger."""
+        run_once(1)  # compile + warm
+        series = []
+        for _ in range(cli.repeats):
+            series.append((run_once(N2) - run_once(N1)) / (N2 - N1))
+        detail["variants"][label] = [round(s * 1e3, 2) for s in series]
+        return min(series)
 
     # the fused Pallas megakernels (whole pipeline in one VMEM-resident
-    # kernel): v3 shades all S slots dense; v5 compacts samples in-tile and
-    # shades exactly ceil(sum(count)/chunk) chunks. Measure both, keep the
-    # fastest; the XLA number stays as fallback if neither builds here.
+    # kernel): v5d compacts samples in-tile with a dynamic-trip chunk loop
+    # and a per-tile hybrid dense base; v5 is the static-unroll variant.
+    # The frame is timed through to a SCAN-ORDER rgba image: block-order
+    # kernel output -> slice 4 lanes -> structured transpose (the inverse
+    # of viewer.block_permutation — never a row gather).
     try:
-        from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
-                                                       pack_nerf_weights,
+        from adanerf_tpu.ops.pallas.megakernel import (pack_nerf_weights,
                                                        pack_oracle_weights,
                                                        prep_inputs)
-        from adanerf_tpu.ops.pallas.megakernel3 import (
-            make_megakernel_compact, make_megakernel_split)
+        from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
 
         from viewer import block_permutation
 
         mk_cfg = rt.config
+        tile, chunk = 256, 256
         po = pack_oracle_weights(rt.oracle_def, p0, dtype=jnp.bfloat16)
         pn = pack_nerf_weights(rt.nerf_def, p1, dtype=jnp.bfloat16)
         # square-block ray order: tile-gated stages see coherent 16x16
-        # image blocks (viewer.block_permutation); the inverse gather back
-        # to scan order is timed as part of every frame
-        perm, inv = block_permutation(w, h, 256)
+        # image blocks (viewer.block_permutation); the inverse back to scan
+        # order is part of every timed frame
+        perm, inv = block_permutation(w, h, tile)
         mk_dirs = directions[perm] if perm is not None else directions
-        inv_dev = jnp.asarray(inv) if perm is not None else None
         dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(mk_dirs),
                                            jnp.zeros(3), jnp.eye(3))
         pose_rows = [jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
             jnp.asarray(p)) for p in poses]
-        unperm = jax.jit(lambda o: o[inv_dev] if inv_dev is not None else o)
+
+        side = int(np.sqrt(tile))
+        if perm is not None:
+            def unperm(o):  # block order -> scan order, zero gathers
+                x = o[:n_pix, :4].reshape(h // side, w // side, side, side, 4)
+                return x.transpose(0, 2, 1, 3, 4).reshape(n_pix, 4)
+        else:
+            def unperm(o):
+                return o[:n_pix, :4]
 
         def time_kernel(mk):
+            frame = jax.jit(lambda d, p, r: unperm(mk(d, p, r)))
+
             def mrun(n_frames):
                 t0 = time.perf_counter()
                 last = None
                 for f in range(n_frames):
-                    last = unperm(mk(dirs_pad,
-                                     pose_rows[f % len(pose_rows)], rot_pad))
+                    last = frame(dirs_pad, pose_rows[f % len(pose_rows)],
+                                 rot_pad)
                 float(probe(last[:, :3]))
                 return time.perf_counter() - t0
 
-            mrun(1)
-            return (mrun(n2) - mrun(n1)) / (n2 - n1)
+            return mrun
 
         for name, build in [
-                ("pallas-megakernel-v5s", lambda: make_megakernel_split(
-                    rt.oracle_def, rt.nerf_def, scene, mk_cfg,
-                    tile=256, chunk=256, dynamic=True)(po, pn)),
                 ("pallas-megakernel-v5d", lambda: make_megakernel_compact(
                     rt.oracle_def, rt.nerf_def, scene, mk_cfg,
-                    tile=256, chunk=256, dynamic=True)(po, pn)),
+                    tile=tile, chunk=chunk, dynamic=True)(po, pn)),
                 ("pallas-megakernel-v5", lambda: make_megakernel_compact(
                     rt.oracle_def, rt.nerf_def, scene, mk_cfg,
-                    tile=256, chunk=256)(po, pn)),
-                ("pallas-megakernel-v3", lambda: make_megakernel(
-                    rt.oracle_def, rt.nerf_def, scene, mk_cfg,
-                    tile=256)(po, pn))]:
+                    tile=tile, chunk=chunk)(po, pn))]:
             try:
-                mega_s = time_kernel(build())
+                mega_s = timed_min(time_kernel(build()), name)
                 print(f"# {name}: {mega_s * 1e3:.2f} ms/frame",
                       file=sys.stderr)
-                if mega_s < per_frame_s:
+                if per_frame_s is None or mega_s < per_frame_s:
                     per_frame_s = mega_s
                     path = name
             except Exception as e:
                 print(f"# {name} skipped: {type(e).__name__}: {e}",
                       file=sys.stderr)
+        detail["kernel"] = {"tile": tile, "chunk": chunk,
+                            "dense_path": True, "block_order": perm
+                            is not None}
     except Exception as e:
         print(f"# megakernel paths skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
+
+    # fallback: the bucketed XLA pipeline (only compiled when every
+    # megakernel failed to build — e.g. non-TPU backends)
+    if per_frame_s is None:
+        counts_all = np.concatenate(counts)
+        capacity = rt.choose_frame_capacity(counts_all, headroom=1.15)
+        render = rt.make_frame_renderer(n_pix, capacity=capacity)
+
+        def xrun(n_frames):
+            t0 = time.perf_counter()
+            last = None
+            for f in range(n_frames):
+                last, _ = render(p0, p1, poses[f % len(poses)], rot, dirs_dev)
+            float(probe(last))
+            return time.perf_counter() - t0
+
+        per_frame_s = timed_min(xrun, "xla-pipeline")
+        path = "xla-pipeline"
+        detail["kernel"] = {"capacity": int(capacity)}
+
+    compile_s = time.perf_counter() - t0
+    contention_after = busy_processes()
+    contention = sorted(set(contention_before) | set(contention_after))
 
     rays_per_s = n_pix / per_frame_s
     fps = 1.0 / per_frame_s
@@ -289,10 +363,16 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(fps / 30.0, 3),
     }))
-    print(f"# fps={fps:.2f} frame_ms={per_frame_s * 1e3:.2f} path={path} "
-          f"avg_samples/px={avg_samples:.2f} init_s={init_s:.0f} "
-          f"compile_s={compile_s:.0f} capacity={capacity}",
-          file=sys.stderr)
+    detail.update(fps=round(fps, 2), frame_ms=round(per_frame_s * 1e3, 2),
+                  path=path, avg_samples_px=round(avg_samples, 3),
+                  init_s=round(init_s), compile_s=round(compile_s),
+                  contention=contention,
+                  export=os.path.basename(cli.export_dir or "synthetic"))
+    print("# detail " + json.dumps(detail), file=sys.stderr)
+    if contention:
+        print("# WARNING: other busy processes were live during this bench; "
+              "the min-of-repeats headline is contention-resistant but "
+              "treat per-variant series with care", file=sys.stderr)
 
 
 if __name__ == "__main__":
