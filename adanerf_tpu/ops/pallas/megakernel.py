@@ -295,11 +295,23 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
     # [pos_enc | dir_enc]
     o_tables = lane_encode_tables([([0, 1, 2], fd0), ([3, 4, 5], fp0)])
     n_tables = lane_encode_tables([([0, 1, 2], fp1), ([3, 4, 5], fd1)])
+    # pair-packed shading encode (see the kernel comment): P/Dn lane widths
+    # of one slot's position/direction block
+    P_LANES = 3 + 6 * fp1
+    DN_LANES = 3 + 6 * fd1
+    pair_pack = S >= 2 and 2 * P_LANES <= LANE \
+        and P_LANES + DN_LANES <= LANE
+    pos_pair_tables = (lane_encode_tables([([0, 1, 2], fp1), ([3, 4, 5], fp1)])
+                       if pair_pack else n_tables)
+    dir_tables = (lane_encode_tables([([0, 1, 2], fd1)])
+                  if pair_pack else n_tables)
 
     def kernel(dirs_ref, pose_ref, rot_ref, *wrefs):
         ot = wrefs[0:5]
         nt = wrefs[5:10]
-        wrefs = wrefs[10:]
+        pt = wrefs[10:15]
+        dt = wrefs[15:20]
+        wrefs = wrefs[20:]
         n_ow = len(_ORACLE_KEYS)
         ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
         nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[n_ow:-1])}
@@ -384,8 +396,8 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
                  jnp.zeros((T, LANE - 4), jnp.float32)], axis=1)
             return
 
-        # SLOT-BATCHED shading: the per-slot geometry/encodes are cheap
-        # unrolled elementwise blocks, but all S slots' MLP inputs stack into
+        # SLOT-BATCHED shading: the per-slot geometry is cheap unrolled
+        # elementwise blocks, but all S slots' MLP inputs stack into
         # ONE (S*T, 128) batch so the shading network runs as a single chain
         # of 11 large matmuls (a fori_loop over slots serialized the MXU and
         # ran 4.8x slower; a fully unrolled body blew compile time).
@@ -398,7 +410,7 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
             lane3b == 0, jnp.float32(center[0]),
             jnp.where(lane3b == 1, jnp.float32(center[1]),
                       jnp.float32(center[2])))
-        xs = []
+        lns = []
         lives = []
         probs = []
         for s in range(S):
@@ -415,8 +427,39 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
             norm = jnp.sqrt(jnp.sqrt(
                 jnp.sum(l * l, axis=1, keepdims=True)))
             inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
-            coords_n = jnp.concatenate([l * inv, nds3, zero2], axis=1)
-            xs.append(_lane_encode(coords_n, *nt))
+            lns.append(l * inv)
+
+        # PAIR-PACKED encodes (the dense frame's transcendental bill is the
+        # encode stage — 11 of 39.5 ms at S=4/tile=512 on the at-cap
+        # barbershop ladder): the dir encode (Dn lanes) is slot-INVARIANT,
+        # so it runs once per tile and is lane-rolled into place; two slots'
+        # position encodes (2P <= 128 lanes at posEnc 10) share ONE
+        # (T, 128) transcendental pass and the second slot's block is
+        # lane-rolled down. Rolls and 0/1 masks are exact data movement and
+        # the 0/1-select encode matmul sums identical terms, so every MLP
+        # input lane is BIT-IDENTICAL to the per-slot form. Sin passes:
+        # S+0 -> S/2+1 (S=4: 4->3, S=16: 16->9).
+        if pair_pack:
+            dir_full = _lane_encode(
+                jnp.concatenate([nds3, jnp.zeros((T, 5), jnp.float32)],
+                                axis=1), *dt)
+            dir_part = pltpu.roll(dir_full, P_LANES, axis=1)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+            mask_p = (lane_i < P_LANES).astype(jnp.float32)
+            xs = [None] * S
+            for p in range(S // 2):
+                a, b = 2 * p, 2 * p + 1
+                coords_p = jnp.concatenate([lns[a], lns[b], zero2], axis=1)
+                enc_p = _lane_encode(coords_p, *pt)
+                xs[a] = enc_p * mask_p + dir_part
+                xs[b] = pltpu.roll(enc_p, LANE - P_LANES, axis=1) * mask_p \
+                    + dir_part
+            if S % 2:  # leftover slot: classic single-slot [pos|dir] row
+                xs[S - 1] = _lane_encode(
+                    jnp.concatenate([lns[S - 1], nds3, zero2], axis=1), *nt)
+        else:  # 2P > 128 (posEnc > 10): per-slot rows
+            xs = [_lane_encode(jnp.concatenate([ln, nds3, zero2], axis=1),
+                               *nt) for ln in lns]
 
         x_all = jnp.concatenate(xs, axis=0)          # (S*T, 128)
         if stop_after == "encode":  # profiling hook: + slot geometry/encode
@@ -468,7 +511,8 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
                         pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)]
             ws = []
-            for tbl in list(o_tables) + list(n_tables):
+            for tbl in (list(o_tables) + list(n_tables)
+                        + list(pos_pair_tables) + list(dir_tables)):
                 in_specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0),
                                              memory_space=pltpu.VMEM))
                 ws.append(jnp.asarray(tbl))
