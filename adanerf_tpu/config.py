@@ -159,6 +159,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="number of devices for the data-parallel ray mesh; -1 = all")
     p.add_argument("--bf16", default=False, action="store_true",
                    help="use bfloat16 matmuls in the MLPs (TPU MXU fast path)")
+    p.add_argument("--fusedTrainKernel", default=1, type=int,
+                   help="route the shading MLP's train-step forward+backward "
+                        "through the fused Pallas kernel on TPU (needs --bf16)")
     return p
 
 

@@ -16,11 +16,14 @@ from .keys import FSK
 
 
 def run_cascade(model_defs, params, f_in, batch: Dict, is_inference=False,
-                key=None, dtype=None):
+                key=None, dtype=None, apply_fns=None):
     """Run all stages; returns (postprocessed_outs, inference_dicts).
 
     model_defs: list of BaseNetDef/NeRFDef; params: list of param pytrees;
     f_in: list of input FeatureSet instances; batch: DatasetKeys dict.
+    apply_fns: optional per-stage override of ``def.apply`` — used by the
+    train step to route the shading MLP through the fused Pallas
+    forward+backward kernel (ops/pallas/train_kernel.py) on TPU.
     """
     postprocessed = []
     dicts: List[Dict] = []
@@ -31,7 +34,11 @@ def run_cascade(model_defs, params, f_in, batch: Dict, is_inference=False,
         d = f_in[i].batch(batch, prev_outs=dicts, is_inference=is_inference,
                           key=keys[i])
         x = d[FSK.input_feature_batch]
-        d[FSK.network_output] = model_defs[i].apply(params[i], x, dtype=dtype)
+        if apply_fns is not None and apply_fns[i] is not None:
+            d[FSK.network_output] = apply_fns[i](params[i], x)
+        else:
+            d[FSK.network_output] = model_defs[i].apply(params[i], x,
+                                                        dtype=dtype)
         f_in[i].postprocess(d, batch)
         postprocessed.append(d[FSK.postprocessed_network_output])
         dicts.append(d)

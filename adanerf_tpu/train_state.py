@@ -230,6 +230,29 @@ class TrainState:
 
     # -- the jitted train step ----------------------------------------------
 
+    def _train_apply_fns(self):
+        """Per-net apply overrides for the train step: the shading NeRF runs
+        through the fused Pallas forward+backward kernel on TPU (the XLA
+        autodiff chain is HBM-bound at 4x the kernel's time; see
+        ops/pallas/train_kernel.py).  Disabled off-TPU, without --bf16, or
+        with --fusedTrainKernel 0."""
+        c = self.config_file
+        if not c.bf16 or not getattr(c, "fusedTrainKernel", 1):
+            return None
+        import jax as _jax
+        if _jax.devices()[0].platform not in ("tpu", "axon"):
+            return None
+        from .ops.pallas.train_kernel import make_nerf_train_apply
+        from .models.mlp import NeRFDef
+        fns = []
+        for d in self.model_defs:
+            if (isinstance(d, NeRFDef) and d.use_viewdirs
+                    and d.width % 128 == 0 and d.width >= 128):
+                fns.append(make_nerf_train_apply(d))
+            else:
+                fns.append(None)
+        return fns if any(f is not None for f in fns) else None
+
     def make_train_step(self):
         """One fused XLA program for a whole training epoch-step
         (reference hot loop: src/train.py:284-341)."""
@@ -244,10 +267,12 @@ class TrainState:
         decay_steps = c.lrate_decay_steps
         pre_train_epochs = max(c.epochsPretrain) if c.epochsPretrain else 0
         dtype = jnp.bfloat16 if c.bf16 else None
+        apply_fns = self._train_apply_fns()
 
         def loss_fn(params, batch, targets, epoch, key):
             outs, dicts = run_cascade(model_defs, params, f_in, batch,
-                                      is_inference=False, key=key, dtype=dtype)
+                                      is_inference=False, key=key, dtype=dtype,
+                                      apply_fns=apply_fns)
             total = 0.0
             per_net = []
             for i, crit in enumerate(losses):

@@ -12,13 +12,13 @@ DENSE_ARGS=(-c configs/dense_training.ini -data demo/tscene -log demo/tlogs
     -e 100001 --lossBlendingStart 10000 --lossBlendingDuration 30000
     --epochsLockWeightsBefore -1 --epochsLockWeightsBefore 1001
     --epochsLockWeightsAfter 90000 --epochsLockWeightsAfter -1
-    -Er 50000 -Ev 25000 -Eckpt 20000)
+    -Er 50000 -Ev 25000 -Eckpt 20000 --bf16)
 FINE_ARGS=(-c configs/fine_training.ini -data demo/tscene -log demo/tlogs
     -e 40001 --numRaymarchSamples 8 --numRaymarchSamples 8
     --adaptiveSamplingThreshold 0.2
     --lossBlendingStart 10000 --lossBlendingDuration 30000
     --preTrained demo/tlogs/tscene --preTrained demo/tlogs/tscene
-    -Er 20000 -Ev 10000 -Eckpt 10000)
+    -Er 20000 -Ev 10000 -Eckpt 10000 --bf16)
 
 python tools/supervise_train.py --log demo/tdense_train.log --stall-min 12 -- \
     python train.py "${DENSE_ARGS[@]}" || exit 1
