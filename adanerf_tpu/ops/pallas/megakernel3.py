@@ -230,26 +230,28 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                             no_shade: bool = False, no_encode: bool = False,
                             oracle_split: bool = False,
                             nerf_split: bool = False,
-                            chunk_mults=None, dynamic: bool = False,
+                            dynamic: bool = False,
                             dense_path: bool = True, dense_cost: int = 408,
                             dense_group: int = 1,
-                            stop_after: str = "", front_input: bool = False):
+                            stop_after: str = ""):
     """Build fn(packed_oracle, packed_nerf) -> run(dirs_pad, pose8, rot_pad)
     -> (B, 128) rows [r, g, b, count, 0...]. Same contract as
     megakernel.make_megakernel.
 
-    chunk_mults=None (v5): the back half is a static unroll of
+    dynamic=False (v5): the back half is a static unroll of
     ``S*tile/chunk`` gated chunk regions; Mosaic schedules every region even
     when untaken, and each live chunk re-runs ~20 narrow geometry ops.
+    dynamic=True (v5d): one fori_loop body with the live trip count — dead
+    chunks don't exist as regions (the S=16 path; static at S=16 exceeds
+    the 16 MB scoped-vmem default).
 
-    chunk_mults=(1,2,3,...) (v7): ONE capacity-gated region shades the whole
-    tile's live samples in a single batch. The capacity is the smallest
-    allowed multiple of ``chunk`` >= the tile's live total, so exactly one
-    region executes per tile: one one-hot build, one gather matmul, one
-    lane-packed geometry/encode block, ONE (cap, 128) shading-MLP chain and
-    one scatter matmul — MXU batches grow with the workload instead of the
-    narrow machinery re-running per chunk. Numerics are identical to v5
-    (each compact row still gathers exactly one ray's values)."""
+    Retired variants (measured losers, see BENCH.md round-4 verdict table):
+    v7 (one whole-tile capacity-gated batch, ``chunk_mults=``) lost 97 vs
+    44 ms in round 3 — Mosaic schedules ALL capacity-band regions; v5s
+    (supertile front + HBM z/p handoff, ``front_input=``/make_front_zp)
+    lost every regime in round 4 (42 ms mscene / 67 ms barbershop / 316 ms
+    pavillon) — the front re-issue savings never repaid the extra kernel
+    launch + HBM round trip."""
     S = config.numRaymarchSamples[1]
     threshold = float(config.adaptiveSamplingThreshold)
     D = oracle_def.n_out
@@ -313,22 +315,15 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                          np.ones((1, pw_build), np.float32))
 
     def kernel(dirs_ref, pose_ref, rot_ref, *rest):
-        if front_input:
-            zp_ref = rest[0]
-            rest = rest[1:]
         tril_ref, eye_ref, tile_pw_ref, expand_s_ref = rest[0:4]
         wrefs = rest[4:]
-        if front_input:
-            ot, ow = None, None
-        else:
-            ot = wrefs[0:5]
-            wrefs = wrefs[5:]
+        ot = wrefs[0:5]
+        wrefs = wrefs[5:]
         nt = wrefs[0:5]
         wrefs = wrefs[5:]
-        if not front_input:
-            n_ow = len(_ORACLE_KEYS)
-            ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
-            wrefs = wrefs[n_ow:]
+        n_ow = len(_ORACLE_KEYS)
+        ow = {k: r for k, r in zip(_ORACLE_KEYS, wrefs[:n_ow])}
+        wrefs = wrefs[n_ow:]
         nw = {k: r for k, r in zip(_NERF_KEYS, wrefs[:-3])}
         out_ref = wrefs[-3]
         acc_ref = wrefs[-2]  # (tile, pw*S) f32 scratch: per-slot raw rgba
@@ -370,33 +365,16 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
             pack_o3, pack_d3 = proj3, nds3
 
 
-        if front_input:
-            # split mode: z/p/count were computed by the supertile front
-            # kernel (make_front_zp) and ride one HBM row per ray — exact
-            # f32 pass-through, so back-half numerics are unchanged. The
-            # copy into keep_ref keeps the dense-base path's zmat slice
-            # identical to fused mode.
-            zp = zp_ref[:]
-            keep_ref[:, :2 * S] = zp[:, :2 * S]
-            z_cols = [keep_ref[:, s:s + 1] for s in range(S)]
-            p_cols = [keep_ref[:, S + s:S + s + 1] for s in range(S)]
-            c = zp[:, 2 * S:2 * S + 1]
-            if stop_after == "zcols":  # profiling hook parity w/ fused mode
-                out_ref[:] = jnp.concatenate(
-                    [keep_ref[:, :2 * S],
-                     jnp.zeros((T, LANE - 2 * S), jnp.float32)], axis=1)
-                return
-        else:
-            front = _oracle_select_zp(
-                nds3, proj3, keep_ref, ow, ot, out_ref,
-                T=T, S=S, D=D, threshold=threshold, cell=cell,
-                z_no_range=z_no_range, transform=transform, dr=dr,
-                oracle_depth=oracle_def.depth, oracle_split=oracle_split,
-                stop_after=stop_after)
-            if front is None:  # a stop_after hook consumed the tile
-                return
-            z_cols, p_cols, n_per = front
-            c = n_per.astype(jnp.float32)[:, None]               # (T, 1)
+        front = _oracle_select_zp(
+            nds3, proj3, keep_ref, ow, ot, out_ref,
+            T=T, S=S, D=D, threshold=threshold, cell=cell,
+            z_no_range=z_no_range, transform=transform, dr=dr,
+            oracle_depth=oracle_def.depth, oracle_split=oracle_split,
+            stop_after=stop_after)
+        if front is None:  # a stop_after hook consumed the tile
+            return
+        z_cols, p_cols, n_per = front
+        c = n_per.astype(jnp.float32)[:, None]               # (T, 1)
 
         # ---- compaction ----
         # Hybrid dense-base dispatch: shading slots [0, base) as whole-tile
@@ -564,9 +542,8 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
         def shade_rows(nrows, off, accumulate):
             """Gather/shade/scatter compact rows [off, off+nrows) of the
-            tile's virtual sample batch. v5 calls it per chunk (accumulate
-            into acc_ref); v7 calls it once at the gated capacity (plain
-            store). Numerics are row-local, so both orders are identical."""
+            tile's virtual sample batch, accumulating into acc_ref.
+            Numerics are row-local, so chunk order is irrelevant."""
             def put(p):
                 if accumulate:
                     acc_ref[:, :] += p
@@ -679,7 +656,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 axis=1)
             return
 
-        if chunk_mults is None and dynamic:
+        if dynamic:
             # v5d: ONE loop body, dynamic trip count = ceil(total/chunk).
             # Mosaic schedules @pl.when regions even when untaken (measured:
             # a 6-region capacity-gated back half ran 2.4x slower than this
@@ -692,7 +669,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 return carry
 
             jax.lax.fori_loop(0, n_live, body, 0)
-        elif chunk_mults is None:
+        else:
             # v5: static unroll over fixed-size chunks, gated on liveness
             # (total is the RESIDUAL after the dense base passes, so fully
             # dense tiles take no chunk at all)
@@ -700,25 +677,6 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                 @pl.when(jnp.float32(k * chunk) < total)
                 def _(k=k):
                     shade_rows(chunk, k * chunk, True)
-        else:
-            # v7: ONE whole-tile batch at the smallest allowed capacity
-            # >= total; at most one region executes (zero when the dense
-            # base passes absorbed every sample). With the dense path the
-            # region must accumulate on top of the base passes' acc.
-            caps = sorted({int(m) * chunk for m in chunk_mults
-                           if 0 < int(m) * chunk <= S * tile})
-            if not caps or caps[-1] != S * tile:
-                caps.append(S * tile)
-            prev = 0
-            for ci, cap in enumerate(caps):
-                band = total > jnp.float32(prev)
-                if ci + 1 < len(caps):
-                    band = jnp.logical_and(band, total <= jnp.float32(cap))
-
-                @pl.when(band)
-                def _(cap=cap):
-                    shade_rows(cap, 0, bool(run_dense))
-                prev = cap
 
         if stop_after == "compact":  # profiling hook: skip the composite
             out_ref[:] = jnp.concatenate(
@@ -774,12 +732,11 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
 
     def build(packed_oracle, packed_nerf):
         nonlocal _ORACLE_KEYS, _NERF_KEYS
-        _ORACLE_KEYS = sorted(packed_oracle.keys()) \
-            if packed_oracle is not None else []
+        _ORACLE_KEYS = sorted(packed_oracle.keys())
         _NERF_KEYS = sorted(packed_nerf.keys())
 
         @jax.jit
-        def run(dirs_pad, pose8, rot_pad, zp=None):
+        def run(dirs_pad, pose8, rot_pad):
             B = dirs_pad.shape[0]
             in_specs = [pl.BlockSpec((tile, LANE), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM),
@@ -788,10 +745,6 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                         pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM)]
             args = [jnp.asarray(dirs_pad), pose8, rot_pad]
-            if front_input:
-                in_specs.append(pl.BlockSpec((tile, LANE), lambda i: (i, 0),
-                                             memory_space=pltpu.VMEM))
-                args.append(zp)
             in_specs += [pl.BlockSpec((tile, tile), lambda i: (0, 0),
                                       memory_space=pltpu.VMEM),
                          pl.BlockSpec((tile, tile), lambda i: (0, 0),
@@ -802,8 +755,7 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                                       memory_space=pltpu.VMEM)]
             args += [jnp.asarray(tril), jnp.asarray(eye),
                      jnp.asarray(tile_pw_c), jnp.asarray(expand_s_c)]
-            tables = list(n_tables) if front_input \
-                else list(o_tables) + list(n_tables)
+            tables = list(o_tables) + list(n_tables)
             for tbl in tables:
                 in_specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0),
                                              memory_space=pltpu.VMEM))
@@ -835,155 +787,6 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
                     if (tile > 256 or S > 8) else None),
                 interpret=interpret,
             )(*args)
-
-        return run
-
-    return build
-
-
-def make_front_zp(oracle_def, scene, config, tile: int = 1024,
-                  interpret: bool = False, oracle_split: bool = False):
-    """Standalone SUPERTILE front kernel: ray setup -> oracle MLP -> sort-
-    free select -> per-slot z/prob packing, emitting one (LANE,) f32 row per
-    ray: lanes [0, S) = z*live, [S, 2S) = oracle prob, lane 2S = live count.
-
-    Rationale (BENCH.md round-2 stage ledger): fused v5's front half costs
-    15.2 ms/frame at tile=256 — the oracle MLP runs at ~34% MXU (deep chains
-    of small matmuls are latency-bound) and the select/packing VPU ops issue
-    once per 256-ray tile. The front half has no per-sample state, so it
-    scales to 1024+-ray tiles (4x fewer op issues, 4x larger MXU batches)
-    where the full kernel could not (scoped-vmem OOM at tile=1024, BENCH.md
-    round-2 dead ends). make_megakernel_split composes this with the v5
-    back half (front_input=True) through one (B, 128) HBM row per ray
-    (~0.4 ms round trip at 800x800/800GB/s).
-
-    Same math as the fused front: both call _oracle_select_zp."""
-    S = config.numRaymarchSamples[1]
-    threshold = float(config.adaptiveSamplingThreshold)
-    D = oracle_def.n_out
-    cell = 1.0 / D
-    fp0, fd0 = [int(x) for x in config.posEncArgs[0].split('-')]
-    center = np.asarray(scene.view_cell_center, np.float32)
-    radius = float(scene.view_cell_radius)
-    dr = scene.depth_range_warped
-    transform = scene.depth_transform
-    use_ndc = getattr(config, "useNDC", False) is True
-    sampler1 = ""
-    if getattr(config, "rayMarchSampler", None):
-        sampler1 = config.rayMarchSampler[1] or ""
-    z_no_range = use_ndc or sampler1.endswith("NoDepthRange")
-    assert 2 * S + 1 <= LANE
-    o_tables = lane_encode_tables([([0, 1, 2], fd0), ([3, 4, 5], fp0)])
-
-    _KEYS = None
-
-    def kernel(dirs_ref, pose_ref, rot_ref, *wrefs):
-        ot = wrefs[0:5]
-        wrefs = wrefs[5:]
-        ow = {k: r for k, r in zip(_KEYS, wrefs[:-2])}
-        out_ref = wrefs[-2]
-        keep_ref = wrefs[-1]
-        T = tile
-        nds3, _o3, proj3, _lane3 = _ray_setup(dirs_ref, pose_ref, rot_ref,
-                                              T, center, radius)
-        front = _oracle_select_zp(
-            nds3, proj3, keep_ref, ow, ot, out_ref,
-            T=T, S=S, D=D, threshold=threshold, cell=cell,
-            z_no_range=z_no_range, transform=transform, dr=dr,
-            oracle_depth=oracle_def.depth, oracle_split=oracle_split,
-            stop_after="")
-        _z, _p, n_per = front
-        out_ref[:] = jnp.concatenate(
-            [keep_ref[:, :2 * S], n_per.astype(jnp.float32)[:, None],
-             jnp.zeros((T, LANE - 2 * S - 1), jnp.float32)], axis=1)
-
-    def build(packed_oracle):
-        nonlocal _KEYS
-        _KEYS = sorted(packed_oracle.keys())
-
-        @jax.jit
-        def run(dirs_pad, pose8, rot_pad):
-            B = dirs_pad.shape[0]
-            in_specs = [pl.BlockSpec((tile, LANE), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((1, LANE), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM),
-                        pl.BlockSpec((LANE, LANE), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM)]
-            ws = []
-            for tbl in o_tables:
-                in_specs.append(pl.BlockSpec(tbl.shape, lambda i: (0, 0),
-                                             memory_space=pltpu.VMEM))
-                ws.append(jnp.asarray(tbl))
-            for k in _KEYS:
-                w = packed_oracle[k]
-                in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
-                                             memory_space=pltpu.VMEM))
-                ws.append(w)
-            return pl.pallas_call(
-                kernel,
-                grid=(B // tile,),
-                in_specs=in_specs,
-                out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((B, LANE), jnp.float32),
-                scratch_shapes=[pltpu.VMEM((tile, max(D, 2 * S)),
-                                           jnp.float32)],
-                # The supertile stack sits just past Mosaic's conservative
-                # 16 MB scoped-vmem default (16.65M at tile=1024 on v5e,
-                # which has 128 MB); raise the limit rather than shrink the
-                # tile — the whole point of the split is the 1024+ batch.
-                # Only override when the tile actually needs it: on TPU
-                # generations with less than 96 MB VMEM an unconditional
-                # override would fail Mosaic compilation even for small
-                # tiles that fit the default budget.
-                compiler_params=(pltpu.CompilerParams(
-                    vmem_limit_bytes=96 * 1024 * 1024)
-                    if tile >= 1024 else None),
-                interpret=interpret,
-            )(jnp.asarray(dirs_pad), pose8, rot_pad, *ws)
-
-        return run
-
-    return build
-
-
-def make_megakernel_split(oracle_def, nerf_def, scene, config,
-                          front_tile: int = 1024, tile: int = 256,
-                          interpret: bool = False, oracle_split: bool = False,
-                          **back_kw):
-    """Two-kernel split (v5s): supertile front (make_front_zp) + v5 back
-    half (make_megakernel_compact(front_input=True)), composed under one
-    jit. Contract identical to make_megakernel_compact's build/run.
-
-    fp32 outputs are bit-identical to the fused kernel: the z/p/count rows
-    cross HBM as exact f32 and both halves run the same shared code
-    (_ray_setup / _oracle_select_zp); see tests/test_megakernel3.py."""
-    front = make_front_zp(oracle_def, scene, config, tile=front_tile,
-                          interpret=interpret, oracle_split=oracle_split)
-    back = make_megakernel_compact(oracle_def, nerf_def, scene, config,
-                                   tile=tile, interpret=interpret,
-                                   oracle_split=oracle_split,
-                                   front_input=True, **back_kw)
-
-    def build(packed_oracle, packed_nerf):
-        frun = front(packed_oracle)
-        brun = back(None, packed_nerf)
-
-        @jax.jit
-        def run(dirs_pad, pose8, rot_pad):
-            B = dirs_pad.shape[0]
-            Bf = front_tile * ((B + front_tile - 1) // front_tile)
-            if Bf != B:
-                # callers pad to the BACK tile; the supertile front may need
-                # more. Zero rows select >= 1 dummy sample each, but their
-                # zp rows are sliced away before the back kernel sees them.
-                fdirs = jnp.zeros((Bf, LANE), jnp.float32).at[:B].set(
-                    dirs_pad)
-                zp = frun(fdirs, pose8, rot_pad)[:B]
-            else:
-                zp = frun(dirs_pad, pose8, rot_pad)
-            return brun(dirs_pad, pose8, rot_pad, zp)
 
         return run
 

@@ -40,9 +40,7 @@ def main():
     from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
                                                    pack_oracle_weights,
                                                    prep_inputs)
-    from adanerf_tpu.ops.pallas.megakernel3 import (make_megakernel_compact,
-                                                    make_megakernel_split)
-    from adanerf_tpu.ops.pallas.megakernel4 import make_megakernel_supertile
+    from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
     from adanerf_tpu.ops.pallas.megakernel import pack_nerf_weights
     from adanerf_tpu.utils.profiling import chain_slope_time
     from types import SimpleNamespace
@@ -115,32 +113,16 @@ def main():
             if name == "v3":
                 run = make_megakernel(rt.oracle_def, rt.nerf_def, scene,
                                       mk_cfg, **kw)(po, pn)
-            elif name in ("v5", "v5s", "v7"):
+            elif name == "v5":
                 if "dyn" in kw:
                     kw["dynamic"] = _flag(kw.pop("dyn"))
                 if "dense" in kw:
                     kw["dense_path"] = _flag(kw.pop("dense"))
                 if "dcost" in kw:
                     kw["dense_cost"] = int(kw.pop("dcost"))
-                if name == "v7":
-                    mults = kw.pop("mults", "1-2-3-4-6-8")
-                    kw["chunk_mults"] = tuple(
-                        int(m) for m in str(mults).split("-"))
-                if name == "v5s":
-                    if "ftile" in kw:
-                        kw["front_tile"] = int(kw.pop("ftile"))
-                    run = make_megakernel_split(
-                        rt.oracle_def, rt.nerf_def, scene, mk_cfg,
-                        **kw)(po, pn)
-                else:
-                    run = make_megakernel_compact(
-                        rt.oracle_def, rt.nerf_def, scene, mk_cfg,
-                        **kw)(po, pn)
-            elif name == "v6":
-                if "dyn" in kw:
-                    kw["dyn_loop"] = _flag(kw.pop("dyn"))
-                run = make_megakernel_supertile(rt.oracle_def, rt.nerf_def,
-                                                scene, mk_cfg, **kw)(po, pn)
+                run = make_megakernel_compact(
+                    rt.oracle_def, rt.nerf_def, scene, mk_cfg,
+                    **kw)(po, pn)
             else:
                 raise ValueError(name)
             out = run(dirs_pad, pose_row, rot_pad)

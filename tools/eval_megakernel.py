@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--fp32-delta", action="store_true",
                     help="also render through the fp32 XLA chunked pipeline "
                          "and report the kernel-vs-fp32 PSNR delta")
-    ap.add_argument("--variant", default="v5", help="kernel variant (v3/v5/v6)")
+    ap.add_argument("--variant", default="v5", help="kernel variant (v3/v5/v5d)")
     ap.add_argument("--n-frames", type=int, default=0,
                     help="limit to the first N frames (0 = all)")
     ap.add_argument("--tile", type=int, default=256)

@@ -11,29 +11,7 @@
 set -x
 cd "$(dirname "$0")/.."
 
-# ---- 1) FPS rows for existing exports ------------------------------------
-python bench.py --export-dir demo/trained_ndc_export 2>&1 \
-    | tee demo/ndc_bench.log
-python bench.py --export-dir demo/trained_tscene_export 2>&1 \
-    | tee demo/tscene_bench.log
-
-# ---- 2) mscene fine @ thr 0.01 (>=2 smp/px regime) -----------------------
-FINE01_ARGS=(-c configs/fine_training.ini -data demo/mscene -log demo/mlogs
-    -e 40001 --numRaymarchSamples 8 --numRaymarchSamples 8
-    --adaptiveSamplingThreshold 0.01
-    --lossBlendingStart 10000 --lossBlendingDuration 30000
-    --preTrained demo/mlogs/mscene --preTrained demo/mlogs/mscene
-    -Er 20000 -Ev 10000 -Eckpt 10000 --bf16 --performEvaluation)
-python tools/supervise_train.py --log demo/mfine01_train.log --stall-min 12 -- \
-    python train.py "${FINE01_ARGS[@]}" || exit 1
-python export.py "${FINE01_ARGS[@]}" || exit 1
-FINE01_DIR=$(ls -d demo/mlogs/mscene/*'(0.01)'*/ | head -1)
-rm -rf demo/trained_mscene_lowthr_export
-cp -r "${FINE01_DIR}exported_model" demo/trained_mscene_lowthr_export
-python bench.py --export-dir demo/trained_mscene_lowthr_export 2>&1 \
-    | tee demo/mscene_lowthr_bench.log
-
-# ---- 3) reference-scale 300k schedule ------------------------------------
+# ---- 1) reference-scale 300k schedule (the long pole — run FIRST) --------
 D300_ARGS=(-c configs/dense_training.ini -data demo/mscene -log demo/m300logs
     -Er 100000 -Ev 50000 -Eckpt 50000 --bf16 --performEvaluation)
 F300_ARGS=(-c configs/fine_training.ini -data demo/mscene -log demo/m300logs
@@ -53,4 +31,26 @@ rm -rf demo/trained_mscene300_export
 cp -r "${F300_DIR}exported_model" demo/trained_mscene300_export
 python bench.py --export-dir demo/trained_mscene300_export 2>&1 \
     | tee demo/mscene300_bench.log
+
+# ---- 2) FPS rows for existing exports ------------------------------------
+python bench.py --export-dir demo/trained_ndc_export 2>&1 \
+    | tee demo/ndc_bench.log
+python bench.py --export-dir demo/trained_tscene_export 2>&1 \
+    | tee demo/tscene_bench.log
+
+# ---- 3) mscene fine @ thr 0.01 (>=2 smp/px regime; bonus leg) ------------
+FINE01_ARGS=(-c configs/fine_training.ini -data demo/mscene -log demo/mlogs
+    -e 40001 --numRaymarchSamples 8 --numRaymarchSamples 8
+    --adaptiveSamplingThreshold 0.01
+    --lossBlendingStart 10000 --lossBlendingDuration 30000
+    --preTrained demo/mlogs/mscene --preTrained demo/mlogs/mscene
+    -Er 20000 -Ev 10000 -Eckpt 10000 --bf16 --performEvaluation)
+python tools/supervise_train.py --log demo/mfine01_train.log --stall-min 12 -- \
+    python train.py "${FINE01_ARGS[@]}" || exit 1
+python export.py "${FINE01_ARGS[@]}" || exit 1
+FINE01_DIR=$(ls -d demo/mlogs/mscene/*'(0.01)'*/ | head -1)
+rm -rf demo/trained_mscene_lowthr_export
+cp -r "${FINE01_DIR}exported_model" demo/trained_mscene_lowthr_export
+python bench.py --export-dir demo/trained_mscene_lowthr_export 2>&1 \
+    | tee demo/mscene_lowthr_bench.log
 echo "QUEUE DONE"

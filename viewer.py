@@ -194,17 +194,14 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
                                                    pack_nerf_weights,
                                                    pack_oracle_weights,
                                                    prep_inputs)
-    from adanerf_tpu.ops.pallas.megakernel3 import (make_megakernel_compact,
-                                                    make_megakernel_split)
-    from adanerf_tpu.ops.pallas.megakernel4 import make_megakernel_supertile
+    from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
 
     S = rt.max_samples
     if not (rt.threshold > 0.0 and 8 * S <= 128):
         raise SystemExit("--megakernel needs an adaptive model "
                          f"(threshold>0, <=16 samples; got thr={rt.threshold}"
                          f", S={S})")
-    if getattr(rt, "use_ndc", False) and variant not in ("v5", "v5d", "v5s",
-                                                         "v7"):
+    if getattr(rt, "use_ndc", False) and variant not in ("v5", "v5d"):
         # ValueError (not SystemExit) so bench.py falls back to another
         # path instead of silently timing wrong-geometry frames
         raise ValueError("only the v5 megakernel implements the NDC ray "
@@ -236,26 +233,13 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
         mk = make_megakernel(rt.oracle_def, rt.nerf_def, scene, config,
                              tile=tile, interpret=interp,
                              **mk_kwargs)(po, pn)
-    elif variant == "v6":
-        mk = make_megakernel_supertile(
-            rt.oracle_def, rt.nerf_def, scene, config, tile=tile,
-            interpret=interp, **mk_kwargs)(po, pn)
     else:                    # v5 in-tile compaction: wins sparse workloads
-        if variant == "v7" and "chunk_mults" not in mk_kwargs:
-            # whole-tile batched back half (one capacity-gated region)
-            mk_kwargs["chunk_mults"] = (1, 2, 3, 4, 6, 8)
-        if variant in ("v5d", "v5s"):  # dynamic-trip chunk loop
+        if variant == "v5d":  # dynamic-trip chunk loop (the S=16 path)
             mk_kwargs.setdefault("dynamic", True)
-        if variant == "v5s":  # supertile front + v5 back, z/p through HBM
-            mk = make_megakernel_split(rt.oracle_def, rt.nerf_def, scene,
-                                       config, tile=tile, chunk=tile,
-                                       interpret=interp,
-                                       **mk_kwargs)(po, pn)
-        else:
-            mk = make_megakernel_compact(rt.oracle_def, rt.nerf_def, scene,
-                                         config, tile=tile, chunk=tile,
-                                         interpret=interp,
-                                         **mk_kwargs)(po, pn)
+        mk = make_megakernel_compact(rt.oracle_def, rt.nerf_def, scene,
+                                     config, tile=tile, chunk=tile,
+                                     interpret=interp,
+                                     **mk_kwargs)(po, pn)
 
     def render(p0, p1, pose, rot, dirs_dev):
         pose8 = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(pose)
@@ -297,7 +281,7 @@ def main(argv=None):
     p.add_argument("--dynamic", action="store_true",
                    help="in-graph lax.switch bucketing instead of a probed fixed capacity")
     p.add_argument("--megakernel", nargs="?", const="v5d", default=None,
-                   choices=["v5d", "v5s", "v7", "v5", "v3"],
+                   choices=["v5d", "v5", "v3"],
                    help="render through the fused whole-frame Pallas kernel "
                         "(ops/pallas/megakernel3.py) instead of the XLA "
                         "bucketed pipeline")
