@@ -34,7 +34,9 @@ def main():
 
     for samples, n_raymarch, width, layers, label in [
             (2048, 128, 256, 8, "reference workload (2x2048 rays, 128 smp)"),
-            (4096, 128, 256, 8, "TPU-sized batch (2x4096 rays, 128 smp)")]:
+            (4096, 128, 256, 8, "TPU-sized batch (2x4096 rays, 128 smp)"),
+            (8192, 128, 256, 8, "TPU-sized batch (2x8192 rays, 128 smp)"),
+            (16384, 128, 256, 8, "TPU-sized batch (2x16384 rays, 128 smp)")]:
         args = [
             "-data", scene_dir, "-log", "/tmp/bench_train_logs",
             "--depthTransform", "log", "--scale", "1",
