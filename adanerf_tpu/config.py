@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--videoFrames', default=-1, type=int)
     p.add_argument('--inferenceChunkSize', default=65536, type=int)
     p.add_argument("-nV", "--nonVerbose", default=False, action="store_true")
+    p.add_argument("--verboseEvery", default=100, type=int,
+                   help="epochs between hot-loop loss prints; each print "
+                        "costs one device->host readback, which is "
+                        "O(seconds) through a slow axon tunnel window — "
+                        "raise for long unattended runs")
 
     # NeRF/Raymarching-params
     p.add_argument("--zNear", default=[], type=float, action='append')

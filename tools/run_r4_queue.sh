@@ -13,12 +13,12 @@ cd "$(dirname "$0")/.."
 
 # ---- 1) reference-scale 300k schedule (the long pole — run FIRST) --------
 D300_ARGS=(-c configs/dense_training.ini -data demo/mscene -log demo/m300logs
-    -Er 100000 -Ev 50000 -Eckpt 50000 --bf16 --performEvaluation)
+    -Er 100000 -Ev 50000 -Eckpt 10000 --verboseEvery 5000 --bf16 --performEvaluation)
 F300_ARGS=(-c configs/fine_training.ini -data demo/mscene -log demo/m300logs
     --numRaymarchSamples 8 --numRaymarchSamples 8
     --adaptiveSamplingThreshold 0.2
     --preTrained demo/m300logs/mscene --preTrained demo/m300logs/mscene
-    -Er 100000 -Ev 50000 -Eckpt 50000 --bf16 --performEvaluation)
+    -Er 100000 -Ev 50000 -Eckpt 10000 --verboseEvery 5000 --bf16 --performEvaluation)
 
 python tools/supervise_train.py --log demo/m300dense_train.log --stall-min 15 \
     -- python train.py "${D300_ARGS[@]}" || exit 1

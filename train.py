@@ -198,7 +198,7 @@ def train(ts: TrainState):
             jax.random.PRNGKey(epoch))
         per_net_pending = per_net
 
-        if not c.nonVerbose and epoch % 100 == 0:
+        if not c.nonVerbose and epoch % c.verboseEvery == 0:
             vals = [float(x) for x in per_net]
             tqdm_range.set_description(
                 "epoch={:<10} losses=[{}]".format(
