@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--videoFrames', default=-1, type=int)
     p.add_argument('--inferenceChunkSize', default=65536, type=int)
     p.add_argument("-nV", "--nonVerbose", default=False, action="store_true")
+    p.add_argument("--dispatchSleepMs", default=0.0, type=float,
+                   help="host-side sleep per training step. Paces async "
+                        "dispatch at ~the device step rate WITHOUT any "
+                        "device->host sync, so the dispatch backlog stays "
+                        "bounded even when readbacks are pathologically "
+                        "slow (axon tunnel). 0 = no pacing.")
     p.add_argument("--verboseEvery", default=100, type=int,
                    help="epochs between hot-loop loss prints; each print "
                         "costs one device->host readback, which is "

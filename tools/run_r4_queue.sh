@@ -13,13 +13,13 @@ cd "$(dirname "$0")/.."
 
 # ---- 1) reference-scale 300k schedule (the long pole — run FIRST) --------
 D300_ARGS=(-c configs/dense_training.ini -data demo/mscene -log demo/m300logs
-    -Er 150000 -Ev 100000 -Eckpt 50000 --verboseEvery 2000 --bf16 --performEvaluation)
+    -Er 300000 -Ev 300000 -Eckpt 100000 --nonVerbose --dispatchSleepMs 14 --bf16 --performEvaluation)
 F300_ARGS=(-c configs/fine_training.ini -data demo/mscene -log demo/m300logs
     -e 40001 --numRaymarchSamples 8 --numRaymarchSamples 8
     --adaptiveSamplingThreshold 0.2
     --lossBlendingStart 10000 --lossBlendingDuration 30000
     --preTrained demo/m300logs/mscene --preTrained demo/m300logs/mscene
-    -Er 20000 -Ev 10000 -Eckpt 10000 --verboseEvery 2000 --bf16 --performEvaluation)
+    -Er 40000 -Ev 40000 -Eckpt 20000 --nonVerbose --dispatchSleepMs 10 --bf16 --performEvaluation)
 
 python tools/supervise_train.py --log demo/m300dense_train.log --stall-min 20 \
     -- python train.py "${D300_ARGS[@]}" || exit 1

@@ -12,6 +12,7 @@ import math
 import os
 import shutil
 import sys
+import time
 
 import numpy as np
 
@@ -197,6 +198,8 @@ def train(ts: TrainState):
             ts.params, ts.opt_states, batch, targets, jnp.asarray(epoch),
             jax.random.PRNGKey(epoch))
         per_net_pending = per_net
+        if c.dispatchSleepMs:
+            time.sleep(c.dispatchSleepMs / 1e3)
 
         if not c.nonVerbose and epoch % c.verboseEvery == 0:
             vals = [float(x) for x in per_net]
