@@ -53,7 +53,12 @@ def _unflatten_like(tree, flat: Dict[str, np.ndarray]):
 
 
 def save_tree(path: str, tree):
-    np.savez(path, **_flatten_tree(tree))
+    # ONE batched device->host transfer: np.savez would np.asarray each
+    # array serially, paying one tunnel round trip PER TENSOR (~50 s in
+    # slow-readback moods x ~120 tensors per checkpoint = a wedged-looking
+    # save). device_get on the whole dict issues every transfer at once —
+    # one latency, then bandwidth.
+    np.savez(path, **jax.device_get(_flatten_tree(tree)))
     # np.savez appends .npz — rename to the exact reference filename
     if os.path.exists(path + ".npz"):
         os.replace(path + ".npz", path)

@@ -11,7 +11,7 @@ set -x
 cd "$(dirname "$0")/.."
 
 D300_ARGS=(-c configs/dense_training.ini -data demo/mscene -log demo/m300logs
-    -Er 300000 -Ev 300000 -Eckpt 100000 --nonVerbose --dispatchSleepMs 14
+    -Er 300000 -Ev 300000 -Eckpt 50000 --nonVerbose --dispatchSleepMs 14
     --bf16 --performEvaluation)
 F300_ARGS=(-c configs/fine_training.ini -data demo/mscene -log demo/m300logs
     -e 40001 --numRaymarchSamples 8 --numRaymarchSamples 8
