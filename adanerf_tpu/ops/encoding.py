@@ -33,12 +33,22 @@ def positional_encode(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
     """
     if n_freqs <= 0:
         return x
-    outs = [x]
-    for f in freq_bands(n_freqs):
-        xf = x * f
-        outs.append(jnp.sin(xf))
-        outs.append(jnp.cos(xf))
-    return jnp.concatenate(outs, axis=-1)
+    # One wide sin and one wide cos over the frequency-flattened axis
+    # instead of 2*n_freqs narrow (..., C) calls. Values are bit-identical
+    # (same elementwise inputs); the win is TPU layout: a (N, 3) f32 temp
+    # tiles to T(8,128) with a 42.7x lane-padding expansion, and the 2F+1
+    # narrow remat temps OOM'd training at 2x4096 rays (DEVNOTES round 4).
+    # The flattened (N, F*C) temps pad ~2x, cutting those bytes ~10x.
+    bands = jnp.asarray(freq_bands(n_freqs))
+    lead, C = x.shape[:-1], x.shape[-1]
+    F = int(n_freqs)
+    xf = (x[..., None, :] * bands[:, None]).reshape(*lead, F * C)
+    s = jnp.sin(xf).reshape(*lead, F, 1, C)
+    c = jnp.cos(xf).reshape(*lead, F, 1, C)
+    # (..., F, 2, C) -> [sin f0 | cos f0 | sin f1 | ...], the reference
+    # interleaved layout (feature_encoding.py:54-74)
+    sc = jnp.concatenate([s, c], axis=-2).reshape(*lead, 2 * F * C)
+    return jnp.concatenate([x, sc], axis=-1)
 
 
 def encoded_width(name: str, n: int, n_freqs: int) -> int:
