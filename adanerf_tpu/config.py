@@ -173,6 +173,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fusedTrainKernel", default=1, type=int,
                    help="route the shading MLP's train-step forward+backward "
                         "through the fused Pallas kernel on TPU (needs --bf16)")
+    p.add_argument("--checkpointParamsOnly", default=0, type=int,
+                   help="periodic checkpoints save model weights only (no "
+                        "optimizer state): ~4x smaller device->host pulls "
+                        "on flaky transports. The end-of-training and "
+                        "best-validation saves always include the full "
+                        "state. Resuming from a params-only checkpoint "
+                        "restarts Adam moments from zero.")
+    p.add_argument("--checkpointGroupMB", default=2.0, type=float,
+                   help="max megabytes per sliced checkpoint device->host "
+                        "fetch group (tunnel-safe saving; 0 = one bulk pull)")
     return p
 
 

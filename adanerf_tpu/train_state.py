@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 from typing import Dict
 
 import jax
@@ -35,10 +36,12 @@ from .utils.helper import experiment_name
 # ---------------------------------------------------------------------------
 
 def _flatten_tree(tree) -> Dict[str, np.ndarray]:
+    """Flatten to {dotted-path: leaf} WITHOUT pulling device arrays to host
+    (the pull is save_tree's job, sliced and supervised there)."""
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = ".".join(str(getattr(p, 'key', getattr(p, 'idx', p))) for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[key] = leaf
     return flat
 
 
@@ -52,16 +55,72 @@ def _unflatten_like(tree, flat: Dict[str, np.ndarray]):
     return jax.tree_util.tree_unflatten(paths_and_leaves[1], leaves)
 
 
-def save_tree(path: str, tree):
-    # ONE batched device->host transfer: np.savez would np.asarray each
-    # array serially, paying one tunnel round trip PER TENSOR (~50 s in
-    # slow-readback moods x ~120 tensors per checkpoint = a wedged-looking
-    # save). device_get on the whole dict issues every transfer at once —
-    # one latency, then bandwidth.
-    np.savez(path, **jax.device_get(_flatten_tree(tree)))
-    # np.savez appends .npz — rename to the exact reference filename
-    if os.path.exists(path + ".npz"):
-        os.replace(path + ".npz", path)
+def _leaf_nbytes(leaf) -> int:
+    try:
+        return int(np.prod(leaf.shape)) * np.dtype(leaf.dtype).itemsize
+    except (AttributeError, TypeError):
+        return np.asarray(leaf).nbytes
+
+
+def save_tree(path: str, tree, group_bytes: int = 2 << 20,
+              progress=None, retries: int = 2):
+    """Tunnel-safe checkpoint save (round-4 forensics, BENCH.md: every
+    reference-scale 300k attempt died at the first epoch-50000 save).
+
+    Two measured pathologies on the axon tunnel, one knob each:
+      * per-tensor ``np.asarray`` pulls pay one round-trip latency PER
+        TENSOR (~50 s each in slow-readback moods x ~120 tensors): leaves
+        are fetched in GROUPS via one ``jax.device_get`` per group, so
+        latency is paid per group, not per tensor;
+      * one monolithic bulk pull (~29 MB) wedges the transport outright:
+        each group is capped at ``group_bytes`` (single oversize leaves
+        still go alone — slicing inside a leaf isn't worth the copy).
+
+    Between groups a ``progress(done, total)`` callback fires so a
+    log-watching supervisor (tools/supervise_train.py) sees liveness during
+    a slow-but-progressing save instead of killing it. Transport errors
+    raise on the fetch; each group retries up to ``retries`` times.
+
+    The file write is atomic (tmp + os.replace): a killed save never leaves
+    a truncated checkpoint for load_latest_weights to trip on.
+    """
+    flat = _flatten_tree(tree)
+    keys = list(flat.keys())
+
+    groups = []
+    cur, cur_bytes = [], 0
+    limit = group_bytes if group_bytes and group_bytes > 0 else None
+    for k in keys:
+        nb = _leaf_nbytes(flat[k])
+        if cur and limit is not None and cur_bytes + nb > limit:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(k)
+        cur_bytes += nb
+    if cur:
+        groups.append(cur)
+
+    fetched: Dict[str, np.ndarray] = {}
+    for gi, group in enumerate(groups):
+        for attempt in range(retries + 1):
+            try:
+                got = jax.device_get({k: flat[k] for k in group})
+                break
+            except Exception as e:  # transport hiccup: bounded retry
+                if attempt >= retries:
+                    raise
+                print(f"[ckpt] fetch group {gi + 1}/{len(groups)} failed "
+                      f"({type(e).__name__}: {e}); retry {attempt + 1}",
+                      flush=True)
+                time.sleep(5.0)
+        fetched.update(got)
+        if progress is not None:
+            progress(gi + 1, len(groups))
+
+    tmp = path + ".tmp"
+    np.savez(tmp, **fetched)
+    # np.savez appends .npz — atomic-replace to the exact reference filename
+    os.replace(tmp + ".npz", path)
 
 
 def load_tree(path: str, like):
@@ -391,13 +450,32 @@ class TrainState:
 
     # -- checkpoints (train_data.py:322-376, models.py:87-181) --------------
 
-    def save_weights(self, name_suffix: str, model_idx: int = -1):
+    def save_weights(self, name_suffix: str, model_idx: int = -1,
+                     params_only: bool = False):
+        """Checkpoint every (selected) net. params_only skips the optimizer
+        trees (~4x smaller device->host pull — the periodic-save mode behind
+        --checkpointParamsOnly); the final/best saves keep full state."""
+        c = self.config_file
+        group_bytes = int(getattr(c, "checkpointGroupMB", 2.0) * (1 << 20))
+        t0 = time.perf_counter()
+
+        def progress(done, total):
+            # one line per group: keeps the training log's mtime advancing
+            # through a slow-readback save so the supervisor doesn't kill a
+            # save that is progressing (tools/supervise_train.py --stall-min)
+            print(f"[ckpt {name_suffix}] group {done}/{total} "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
         for i, d in enumerate(self.model_defs):
             if model_idx in (-1, i):
                 save_tree(os.path.join(self.logDir, f"{d.name}_{name_suffix}.weights"),
-                          self.params[i])
-                save_tree(os.path.join(self.logDir, f"{d.name}_{name_suffix}.optimizer"),
-                          self.opt_states[i])
+                          self.params[i], group_bytes=group_bytes,
+                          progress=progress)
+                if not params_only:
+                    save_tree(os.path.join(self.logDir,
+                                           f"{d.name}_{name_suffix}.optimizer"),
+                              self.opt_states[i], group_bytes=group_bytes,
+                              progress=progress)
         if getattr(self.config_file, "amp", False):
             # bf16 on TPU needs no loss scaling; keep an AMP-scaler state
             # placeholder for checkpoint-layout compat (train_data.py:328-329)
@@ -438,27 +516,57 @@ class TrainState:
                 out.append(os.path.join(path, f))
         return out
 
-    def load_latest_weights(self):
-        """Resume from the newest checkpoint; otherwise bootstrap fine
-        training from the dense run via the regex-derived experiment name
-        (train_data.py:340-361)."""
-        c = self.config_file
-        for i, d in enumerate(self.model_defs):
-            ckpts = self._ckpt_candidates(self.logDir, d.name)
-            if ckpts:
-                ckpt = ckpts[-1]
+    def _try_resume_common_epoch(self) -> bool:
+        """Resume every net from the NEWEST epoch for which every net has a
+        READABLE checkpoint. A kill mid-save (tunnel wedge + supervisor
+        restart) can leave one net's file missing or, pre-atomic-write,
+        truncated; per-net independent "newest file" resume would then load
+        nets from different epochs. Unreadable/incomplete epochs are skipped
+        with a warning, falling back to the next older one."""
+        per_net = []
+        for d in self.model_defs:
+            by_epoch = {}
+            for p in self._ckpt_candidates(self.logDir, d.name):
                 try:
-                    epoch = int(ckpt.split('.weights')[0].split('_')[-1])
+                    by_epoch[int(p.split('.weights')[0].split('_')[-1])] = p
                 except ValueError:
-                    epoch = 0
-                print(f"Reloading checkpoint from {ckpt}")
-                self.params[i] = load_tree(ckpt, self.params[i])
-                opt_path = ckpt.split('.weights')[0] + '.optimizer'
-                if os.path.exists(opt_path):
-                    self.opt_states[i] = load_tree(opt_path, self.opt_states[i])
-                self.epoch0 = epoch + 1
+                    continue
+            per_net.append(by_epoch)
+        if not per_net or not all(per_net):
+            return False
+        common = set(per_net[0])
+        for m in per_net[1:]:
+            common &= set(m)
+        for epoch in sorted(common, reverse=True):
+            try:
+                new_params = list(self.params)
+                new_opts = list(self.opt_states)
+                for i in range(len(self.model_defs)):
+                    ckpt = per_net[i][epoch]
+                    new_params[i] = load_tree(ckpt, self.params[i])
+                    opt_path = ckpt.split('.weights')[0] + '.optimizer'
+                    if os.path.exists(opt_path):
+                        new_opts[i] = load_tree(opt_path, self.opt_states[i])
+            except Exception as e:
+                print(f"checkpoint epoch {epoch} unreadable "
+                      f"({type(e).__name__}: {e}); trying an older one")
                 continue
+            print(f"Reloading checkpoint from epoch {epoch} "
+                  f"({per_net[0][epoch]})")
+            self.params = new_params
+            self.opt_states = new_opts
+            self.epoch0 = epoch + 1
+            return True
+        return False
 
+    def load_latest_weights(self):
+        """Resume from the newest complete checkpoint; otherwise bootstrap
+        fine training from the dense run via the regex-derived experiment
+        name (train_data.py:340-361)."""
+        c = self.config_file
+        if self._try_resume_common_epoch():
+            return
+        for i, d in enumerate(self.model_defs):
             self.epoch0 = 1
             if (c.preTrainedSuffix != "" and c.adaptiveSamplingThreshold > 0
                     and c.preTrained and len(c.preTrained) > i):

@@ -174,6 +174,12 @@ def main():
     ap.add_argument("--synthetic", action="store_true",
                     help="force the calibrated random-weights workload")
     ap.add_argument("--repeats", type=int, default=REPEATS)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the frame's rays over this many devices "
+                         "(1-D mesh via shard_map, "
+                         "adanerf_tpu/parallel/render.py); 0 = unsharded. "
+                         "--mesh 1 measures the sharding wrapper's overhead "
+                         "on one chip.")
     cli = ap.parse_args()
 
     contention_before = busy_processes()
@@ -279,8 +285,21 @@ def main():
         # order is part of every timed frame
         perm, inv = block_permutation(w, h, tile)
         mk_dirs = directions[perm] if perm is not None else directions
+        mesh = None
+        if cli.mesh:
+            # rays-sharded frame: pad to a whole number of kernel tiles per
+            # device shard, place dirs with the mesh sharding once
+            from adanerf_tpu.parallel.render import devices_mesh, frame_pad
+            mesh = devices_mesh(cli.mesh)
+            n_pad = frame_pad(n_pix, tile, cli.mesh)
+            mk_dirs = np.concatenate(
+                [mk_dirs, np.zeros((n_pad - n_pix, 3), np.float32)])
         dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(mk_dirs),
                                            jnp.zeros(3), jnp.eye(3))
+        if mesh is not None:
+            from adanerf_tpu.parallel.render import place_frame_inputs
+            dirs_pad, _, rot_pad = place_frame_inputs(
+                mesh, dirs_pad, jnp.zeros((1, 128), jnp.float32), rot_pad)
         pose_rows = [jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
             jnp.asarray(p)) for p in poses]
 
@@ -315,7 +334,11 @@ def main():
                     rt.oracle_def, rt.nerf_def, scene, mk_cfg,
                     tile=tile, chunk=chunk)(po, pn))]:
             try:
-                mega_s = timed_min(time_kernel(build()), name)
+                mk = build()
+                if mesh is not None:
+                    from adanerf_tpu.parallel.render import shard_megakernel
+                    mk = shard_megakernel(mesh, mk)
+                mega_s = timed_min(time_kernel(mk), name)
                 print(f"# {name}: {mega_s * 1e3:.2f} ms/frame",
                       file=sys.stderr)
                 if per_frame_s is None or mega_s < per_frame_s:
@@ -326,7 +349,7 @@ def main():
                       file=sys.stderr)
         detail["kernel"] = {"tile": tile, "chunk": chunk,
                             "dense_path": True, "block_order": perm
-                            is not None}
+                            is not None, "mesh": cli.mesh}
     except Exception as e:
         print(f"# megakernel paths skipped: {type(e).__name__}: {e}",
               file=sys.stderr)

@@ -88,6 +88,112 @@ def test_compact_matches_dense_v3_exactly(setup):
     np.testing.assert_allclose(rgb5, out3[:, :3], atol=1.5e-7, rtol=0)
 
 
+@pytest.mark.parametrize("chunk", [32, 128])
+def test_compact_chunk_sizes(setup, chunk):
+    """Chunk granularity is a pure tiling knob: results identical."""
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:64]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+    rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=chunk)
+    np.testing.assert_array_equal(counts_a, counts_b)
+    # different MLP batch shapes change the CPU dot's blocking -> 1-ulp
+    # reduction-order differences; anything beyond that is a real bug
+    np.testing.assert_allclose(rgb_a, rgb_b, atol=2e-7, rtol=0)
+
+
+def test_dynamic_chunk_loop_exact(setup):
+    """v5d (dynamic-trip fori_loop over live chunks) runs the same chunk
+    bodies in the same order — bit-identical to the static unroll. v5d is
+    the viewer's default --megakernel variant and the S=16 path."""
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:192]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64)
+    rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                           dynamic=True)
+    np.testing.assert_array_equal(counts_a, counts_b)
+    np.testing.assert_array_equal(rgb_a, rgb_b)
+
+
+@pytest.mark.parametrize("group", [2, 3, 4])
+def test_dense_group_exact(setup, group):
+    """Grouped dense-base passes (G slots stacked into one (G*T, 128)
+    encode+MLP batch per fori_loop trip) are a pure batching/cost knob: the
+    candidate bases quantize to multiples of G (plus S), so pass coverage
+    always equals the chosen base and no live slot is double-shaded. Checked
+    including G=3 (S=8 non-multiple: the phantom slots >= S scatter to
+    nothing)."""
+    ts = setup
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:192]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                           dynamic=True)
+    rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                           dynamic=True, dense_group=group)
+    np.testing.assert_array_equal(counts_a, counts_b)
+    # a different base moves samples between the dense and gathered paths
+    # (same row-local math, different fusion context) and G>1 changes the
+    # MLP batch blocking — same ulp class as the chunk-shape tolerance
+    np.testing.assert_allclose(rgb_a, rgb_b, atol=5e-7, rtol=0)
+
+
+def test_dense_tile_fast_path_exact(setup):
+    """Tiles where max(count) whole-tile dense passes cost no more MLP rows
+    than the compact chunk loop dispatch to the direct (no-gather) dense
+    path — same row-local math as the gathered chunk path (the fp32
+    hi/mid/lo reconstruction is exact), checked on a mixed-count workload
+    and on the two extremes the dispatch exists for: all-sky (count 1 via
+    high-threshold fallback) and at-cap (count = S via threshold 0)."""
+    ts = setup
+    cfg = ts.config_file
+    dataset = ts.test_dataset
+    dirs = dataset.directions[:192]
+    pose = dataset.poses[0]
+    rot = dataset.rotations[0]
+
+    # the fast path runs the same row-local math but in a different fusion
+    # context (no gather matmuls around the encode), so the CPU interpret
+    # backend's sin/dot blocking differs by 1-2 ulp on a handful of pixels
+    # — same class as the chunk-shape tolerance in the tests above
+    def check(dense_cost=408, **cfg_over):
+        old = {k: getattr(cfg, k) for k in cfg_over}
+        try:
+            for k, v in cfg_over.items():
+                setattr(cfg, k, v)
+            rgb_a, counts_a = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                                   dense_path=False)
+            rgb_b, counts_b = _run(ts, dirs, pose, rot, tile=64, chunk=64,
+                                   dense_cost=dense_cost)
+        finally:
+            for k, v in old.items():
+                setattr(cfg, k, v)
+        np.testing.assert_array_equal(counts_a, counts_b)
+        np.testing.assert_allclose(rgb_a, rgb_b, atol=5e-7, rtol=0)
+        return counts_a
+
+    check()  # mixed counts: cost-argmin base per tile
+    # the base is exact at ANY cost weighting: force the argmin to the two
+    # ends of the candidate range on the same mixed-count workload
+    check(dense_cost=0)         # machinery free -> base rides low
+    check(dense_cost=100_000)   # machinery prohibitive -> full dense
+    # threshold above every oracle output -> each ray keeps only the
+    # argmax-fallback sample -> every tile dense at 1 pass
+    counts = check(adaptiveSamplingThreshold=1e9)
+    assert (counts == 1).all()
+    # threshold 0 -> plain top-S keep -> every ray at the cap (the
+    # barbershop/pavillon in-cell regime) -> dense at S passes
+    counts = check(adaptiveSamplingThreshold=0.0)
+    assert (counts == cfg.numRaymarchSamples[1]).all()
 
 
 @pytest.mark.parametrize("hook", ["oracle", "select", "zcols", "minimal",

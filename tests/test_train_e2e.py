@@ -20,8 +20,21 @@ def scene_dir(tmp_path_factory):
     return make_scene(str(tmp_path_factory.mktemp("scene_e2e")))
 
 
+def _load_repo_train():
+    """Import the repo's root train.py BY PATH: the parity tests prepend
+    /root/reference/src to sys.path (it also has a train.py), so a bare
+    ``import train`` is test-order-dependent."""
+    import importlib.util
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "adanerf_repo_train", os.path.join(root, "train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_train_loop_and_render(scene_dir, tmp_path):
-    import train as train_mod
+    train_mod = _load_repo_train()
 
     log_dir = str(tmp_path / "logs")
     args = dense_config_args(scene_dir, log_dir, samples=64, epochs=31)

@@ -139,7 +139,8 @@ def pre_train(ts: TrainState):
                 jnp.asarray(ts.epoch0), jax.random.PRNGKey(epoch))
 
             if epoch > 0 and epoch % c.epochsCheckpoint == 0:
-                ts.save_weights(name_suffix=f"{epoch:07d}")
+                ts.save_weights(name_suffix=f"{epoch:07d}",
+                                params_only=bool(c.checkpointParamsOnly))
             if epoch % c.epochsValidate == 0 and epoch > 0:
                 val_loss, _ = validate_batch(ts, epoch, 0.0, model_idx)
                 if val_loss < best_val_loss:
@@ -201,7 +202,8 @@ def train(ts: TrainState):
         if c.dispatchSleepMs:
             time.sleep(c.dispatchSleepMs / 1e3)
 
-        if not c.nonVerbose and epoch % c.verboseEvery == 0:
+        if not c.nonVerbose and c.verboseEvery > 0 \
+                and epoch % c.verboseEvery == 0:
             vals = [float(x) for x in per_net]
             tqdm_range.set_description(
                 "epoch={:<10} losses=[{}]".format(
@@ -209,7 +211,11 @@ def train(ts: TrainState):
             loss_host = vals[-1]
 
         if epoch % c.epochsCheckpoint == 0 and epoch > 0:
-            ts.save_weights(name_suffix=f"{epoch:07d}")
+            # periodic saves may be params-only (--checkpointParamsOnly):
+            # ~4x smaller device->host pull on flaky transports; the final
+            # and best-val saves below always persist the full state
+            ts.save_weights(name_suffix=f"{epoch:07d}",
+                            params_only=bool(c.checkpointParamsOnly))
 
         if epoch % c.epochsRender == 0 and epoch > 0:
             render_img(ts, 0, ts.valid_dataset, img_name=f"{epoch:07d}")

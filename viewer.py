@@ -174,7 +174,7 @@ def block_permutation(w, h, tile=256):
 
 def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
                               pack_dtype=None, mlp_precision=None,
-                              image_size=None, **mk_kwargs):
+                              image_size=None, mesh=None, **mk_kwargs):
     """Frame renderer through the fused whole-frame Pallas kernel
     (ops/pallas/megakernel3.py) — the production analog of the viewer's
     single CUDA+TensorRT loop. Same (frame, n_acts) contract as
@@ -187,7 +187,13 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
 
     image_size=(w, h) enables the square-block ray order
     (block_permutation) so tile-gated stages see spatially-coherent
-    tiles; outputs are returned in the original scan order either way."""
+    tiles; outputs are returned in the original scan order either way.
+
+    mesh: a 1-D ``("rays",)`` jax.sharding.Mesh — the frame's ray axis is
+    sharded over its devices via shard_map (every pipeline stage is
+    per-ray independent: zero collectives; adanerf_tpu/parallel/render.py),
+    the TPU-native counterpart of the CUDA viewer's per-GPU batch loop
+    (imagegenerator.cpp:247-394)."""
     import jax.numpy as jnp
 
     from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
@@ -216,7 +222,9 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
         if perm is not None and n_pix == w_img * h_img:
             dirs = dirs[perm]
             inv_dev = jnp.asarray(inv)
-    n_pad = ((n_pix + tile - 1) // tile) * tile
+    n_shards = mesh.devices.size if mesh is not None else 1
+    from adanerf_tpu.parallel.render import frame_pad
+    n_pad = frame_pad(n_pix, tile, n_shards)
     dirs_padded = np.zeros((n_pad, 3), np.float32)
     dirs_padded[:n_pix] = dirs
     dirs_pad, _, _ = prep_inputs(jnp.asarray(dirs_padded), jnp.zeros(3),
@@ -240,6 +248,14 @@ def build_megakernel_renderer(rt, scene, dirs, variant="v5", tile=256,
                                      config, tile=tile, chunk=tile,
                                      interpret=interp,
                                      **mk_kwargs)(po, pn)
+
+    if mesh is not None:
+        from adanerf_tpu.parallel.render import (place_frame_inputs,
+                                                 shard_megakernel)
+        mk = shard_megakernel(mesh, mk)
+        dirs_pad, _, _ = place_frame_inputs(
+            mesh, dirs_pad, jnp.zeros((1, 128), jnp.float32),
+            jnp.zeros((128, 128), jnp.float32))
 
     def render(p0, p1, pose, rot, dirs_dev):
         pose8 = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(pose)
@@ -285,6 +301,10 @@ def main(argv=None):
                    help="render through the fused whole-frame Pallas kernel "
                         "(ops/pallas/megakernel3.py) instead of the XLA "
                         "bucketed pipeline")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard each frame's rays over this many devices "
+                        "(1-D mesh, shard_map; needs --megakernel). 0 = "
+                        "unsharded single-device path")
     args = p.parse_args(argv)
 
     import jax
@@ -320,9 +340,17 @@ def main(argv=None):
     t0 = time.perf_counter()
     capacity = None
     if args.megakernel:
+        mesh = None
+        if args.mesh:
+            from adanerf_tpu.parallel.render import devices_mesh
+            mesh = devices_mesh(args.mesh)
+            print(f"rays-sharded rendering over {args.mesh} device(s)")
         render = build_megakernel_renderer(rt, scene, dirs,
                                            variant=args.megakernel,
-                                           image_size=(w, h))
+                                           image_size=(w, h), mesh=mesh)
+    elif args.mesh:
+        raise SystemExit("--mesh needs --megakernel (the sharded frame "
+                         "path wraps the Pallas kernel)")
     elif rt.compaction and not args.dynamic:
         # probe live counts once, compile one fixed-capacity frame program
         # (the TRT optimization-profile pattern; ~1.5x faster than the
