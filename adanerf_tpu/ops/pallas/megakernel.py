@@ -50,6 +50,28 @@ def _pad_to(x, rows, cols):
     return jnp.zeros((rows, cols), x.dtype).at[:x.shape[0], :x.shape[1]].set(x)
 
 
+def _batcher_network(n):
+    """Batcher odd-even mergesort comparator list for n elements.
+
+    5 comparators at n=4, 19 at n=8, 63 at n=16 — the kernel's slot sort
+    runs each comparator as ONE narrow (T, 4) compare-exchange, so
+    restoring bin order after the pair-harvested select costs ~3 vector
+    ops per comparator instead of the 3 (T,128)-wide reductions per slot
+    of the mask-extraction form."""
+    net = []
+    p = 1
+    while p < n:
+        k = p
+        while k >= 1:
+            for j in range(k % p, n - k, 2 * k):
+                for i in range(0, min(k, n - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        net.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return net
+
+
 def pack_nerf_weights(nerf_def, params, dtype=jnp.bfloat16):
     """Pad/split the NeRF param pytree into MXU-aligned matrices for the
     in-kernel shading MLP (``_nerf_mlp``).
@@ -265,8 +287,8 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
     dirs_pad: (B, 128) rows [dir(3) | 0...] camera-space unit dirs.
     pose8: (1, 128) [pose(3) | 0]; rot_pad: (128, 128) with rot^T in [:3,:3].
     oracle_split/nerf_split: hi/lo-split MLP activations (see _mm).
-    stop_after: profiling hook — 'oracle' | 'select' | 'encode' truncate the
-    kernel after that stage (out_ref still written), mirroring the v5 hooks
+    stop_after: profiling hook — 'oracle' | 'select' | 'geom' | 'encode'
+    truncate the kernel after that stage (out_ref written), mirroring v5 hooks
     (megakernel3.py) so tools/bench_megakernel.py can ladder either kernel.
     """
     if getattr(config, "useNDC", False) is True:
@@ -364,70 +386,94 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
                 axis=1)
             return
 
-        # adaptive select (threshold/top-S, bin order) — same selection semantics as ops.samplers.adaptive_select
+        # adaptive select, PAIR-HARVESTED: each of the S max rounds already
+        # yields one slot's data as NARROW (T,1) columns — the round's max
+        # IS the slot's oracle value p and its first-max lane IS the bin —
+        # so the mask-based per-slot extraction (a (T,128) compare + three
+        # (T,128)->(T,1) reductions per slot, ~60% of the round-4 encode-
+        # block time at S=4) is replaced by a Batcher network of narrow
+        # (T,4) compare-exchanges restoring front-to-back bin order.
+        # Selection set, tie rule (value desc / lane asc), threshold
+        # filter, argmax fallback, and dead-slot packing (bin 0, p 0,
+        # live 0) are all BIT-IDENTICAL to the mask form (same floats in
+        # the same slots), so the composite and the XLA-pipeline agreement
+        # are unchanged. Reference semantics: sampleAdaptiveWarpMax
+        # (adaptive_cuda_kernels.cu:21-227) — raw logits, no sigmoid,
+        # exactly as the CUDA viewer thresholds its TRT oracle output.
         d = oracle_out
         iota = jax.lax.broadcasted_iota(jnp.int32, (T, D), 1)
         work = d
-        v_k = None
-        for _ in range(S):
+        rows = []  # (T, 4) rows [sort key | bin | p | live]
+        ones_col = jnp.ones((T, 1), jnp.float32)
+        for k in range(S):
             v_k = jnp.max(work, axis=1, keepdims=True)
             first = jnp.min(jnp.where(work == v_k, iota, D), axis=1,
                             keepdims=True)
             work = jnp.where(iota == first, jnp.float32(-jnp.inf), work)
-        above = d > v_k
-        n_above = jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
-        ties = d == v_k
-        tie_rank = _lane_cumsum(ties.astype(jnp.float32)).astype(jnp.int32)
-        keep = above | (ties & (tie_rank <= (S - n_above)))
-        if threshold > 0.0:
-            keep = keep & (d >= threshold)
-        any_keep = jnp.any(keep, axis=1, keepdims=True)
-        dmax = jnp.max(d, axis=1, keepdims=True)
-        am = jnp.min(jnp.where(d == dmax, iota, D), axis=1, keepdims=True)
-        keep = keep | (jnp.logical_not(any_keep) & (iota == am))
-        rowcum = _lane_cumsum(keep.astype(jnp.float32)).astype(jnp.int32)
-        n_per = jnp.sum(keep.astype(jnp.int32), axis=1)
+            first_f = first.astype(jnp.float32)
+            if threshold > 0.0 and k > 0:
+                live = (v_k >= threshold).astype(jnp.float32)
+            else:
+                # slot of round 0 is ALWAYS live: v_0 is the row max, so
+                # either it passes the threshold or nothing does and the
+                # argmax fallback keeps exactly this bin
+                live = ones_col
+            rows.append(jnp.concatenate(
+                [jnp.where(live > 0.0, first_f, jnp.float32(D)),
+                 first_f * live, v_k * live, live], axis=1))
+        for (i, j) in _batcher_network(S):
+            swap = rows[i][:, 0:1] > rows[j][:, 0:1]
+            lo = jnp.where(swap, rows[j], rows[i])
+            rows[j] = jnp.where(swap, rows[i], rows[j])
+            rows[i] = lo
+        n_per_f = rows[0][:, 3:4]
+        for k in range(1, S):
+            n_per_f = n_per_f + rows[k][:, 3:4]
+        n_per = n_per_f[:, 0].astype(jnp.int32)
 
-        keep_f = keep.astype(jnp.float32)
-        iota_f = iota.astype(jnp.float32)
         if stop_after == "select":  # profiling hook
             out_ref[:] = jnp.concatenate(
-                [keep_f[:, :3], n_per.astype(jnp.float32)[:, None],
+                [rows[0][:, 1:2], rows[(S + 1) // 2][:, 1:2],
+                 rows[S - 1][:, 2:3], n_per_f,
                  jnp.zeros((T, LANE - 4), jnp.float32)], axis=1)
             return
 
-        # SLOT-BATCHED shading: the per-slot geometry is cheap unrolled
-        # elementwise blocks, but all S slots' MLP inputs stack into
-        # ONE (S*T, 128) batch so the shading network runs as a single chain
+        # SLOT-BATCHED shading: all S slots' MLP inputs stack into ONE
+        # (S*T, 128) batch so the shading network runs as a single chain
         # of 11 large matmuls (a fori_loop over slots serialized the MXU and
         # ran 4.8x slower; a fully unrolled body blew compile time).
-        # Geometry rides (T, 3) lane-packed rows (same reduce order as the
-        # v5 mid machinery -> identical values): ~8 ops/slot instead of the
-        # ~18 single-lane column ops of the round-1 form.
-        proj3s = jnp.concatenate([prx, pry, prz], axis=1)
-        lane3b = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
-        center_row = jnp.where(
-            lane3b == 0, jnp.float32(center[0]),
-            jnp.where(lane3b == 1, jnp.float32(center[1]),
-                      jnp.float32(center[2])))
-        lns = []
-        lives = []
-        probs = []
-        for s in range(S):
-            sel = keep_f * (rowcum == (s + 1)).astype(jnp.float32)
-            bin_s = jnp.sum(iota_f * sel, axis=1, keepdims=True)
-            probs.append(jnp.sum(d * sel, axis=1, keepdims=True))
-            lives.append((jnp.sum(sel, axis=1, keepdims=True) > 0)
-                         .astype(jnp.float32))
-            z = transform.to_world((bin_s + 0.5) * cell, dr)
+        # Slot geometry rides PLANAR (T, S) coordinate planes — one
+        # elementwise pass per op per COORDINATE instead of per slot, so
+        # the z/spos/normalize block is ~25 vector passes independent of S
+        # (the round-4 (T,3)-per-slot form was ~13*S). Per-element
+        # arithmetic and add order are unchanged (lx^2+ly^2 then +lz^2 ==
+        # jnp.sum over a (T,3) row), so every ln lane is bit-identical.
+        probs = [r[:, 2:3] for r in rows]
+        lives = [r[:, 3:4] for r in rows]
+        bins = jnp.concatenate([r[:, 1:2] for r in rows], axis=1)  # (T, S)
+        zs = transform.to_world((bins + 0.5) * cell, dr)           # (T, S)
+        sx = prx + ndx * zs
+        sy = pry + ndy * zs
+        sz = prz + ndz * zs
+        lx = sx - jnp.float32(center[0])
+        ly = sy - jnp.float32(center[1])
+        lz = sz - jnp.float32(center[2])
+        # InverseSqrtDistCentered normalization
+        norm = jnp.sqrt(jnp.sqrt(lx * lx + ly * ly + lz * lz))
+        inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
+        lnx, lny, lnz = lx * inv, ly * inv, lz * inv
+        lns = [jnp.concatenate([lnx[:, s:s + 1], lny[:, s:s + 1],
+                                lnz[:, s:s + 1]], axis=1)
+               for s in range(S)]
 
-            spos = proj3s + nds3 * z
-            l = spos - center_row
-            # InverseSqrtDistCentered normalization
-            norm = jnp.sqrt(jnp.sqrt(
-                jnp.sum(l * l, axis=1, keepdims=True)))
-            inv = 1.0 / (sqrt_max_depth * jnp.maximum(norm, 1e-12))
-            lns.append(l * inv)
+        if stop_after == "geom":  # profiling hook: + per-slot z/geometry
+            acc = n_per_f
+            for s in range(S):
+                acc = acc + lns[s][:, 0:1] + probs[s] + lives[s]
+            out_ref[:] = jnp.concatenate(
+                [jnp.broadcast_to(acc, (T, 4)),
+                 jnp.zeros((T, LANE - 4), jnp.float32)], axis=1)
+            return
 
         # PAIR-PACKED encodes (the dense frame's transcendental bill is the
         # encode stage — 11 of 39.5 ms at S=4/tile=512 on the at-cap
