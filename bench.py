@@ -269,7 +269,8 @@ def main():
     # kernel output -> slice 4 lanes -> structured transpose (the inverse
     # of viewer.block_permutation — never a row gather).
     try:
-        from adanerf_tpu.ops.pallas.megakernel import (pack_nerf_weights,
+        from adanerf_tpu.ops.pallas.megakernel import (make_megakernel,
+                                                       pack_nerf_weights,
                                                        pack_oracle_weights,
                                                        prep_inputs)
         from adanerf_tpu.ops.pallas.megakernel3 import make_megakernel_compact
@@ -280,39 +281,51 @@ def main():
         tile, chunk = 256, 256
         po = pack_oracle_weights(rt.oracle_def, p0, dtype=jnp.bfloat16)
         pn = pack_nerf_weights(rt.nerf_def, p1, dtype=jnp.bfloat16)
-        # square-block ray order: tile-gated stages see coherent 16x16
-        # image blocks (viewer.block_permutation); the inverse back to scan
-        # order is part of every timed frame
-        perm, inv = block_permutation(w, h, tile)
-        mk_dirs = directions[perm] if perm is not None else directions
-        mesh = None
-        if cli.mesh:
-            # rays-sharded frame: pad to a whole number of kernel tiles per
-            # device shard, place dirs with the mesh sharding once
-            from adanerf_tpu.parallel.render import devices_mesh, frame_pad
-            mesh = devices_mesh(cli.mesh)
-            n_pad = frame_pad(n_pix, tile, cli.mesh)
-            mk_dirs = np.concatenate(
-                [mk_dirs, np.zeros((n_pad - n_pix, 3), np.float32)])
-        dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(mk_dirs),
-                                           jnp.zeros(3), jnp.eye(3))
-        if mesh is not None:
-            from adanerf_tpu.parallel.render import place_frame_inputs
-            dirs_pad, _, rot_pad = place_frame_inputs(
-                mesh, dirs_pad, jnp.zeros((1, 128), jnp.float32), rot_pad)
         pose_rows = [jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
             jnp.asarray(p)) for p in poses]
 
-        side = int(np.sqrt(tile))
-        if perm is not None:
-            def unperm(o):  # block order -> scan order, zero gathers
-                x = o[:n_pix, :4].reshape(h // side, w // side, side, side, 4)
-                return x.transpose(0, 2, 1, 3, 4).reshape(n_pix, 4)
-        else:
-            def unperm(o):
-                return o[:n_pix, :4]
+        mesh = None
+        if cli.mesh:
+            from adanerf_tpu.parallel.render import devices_mesh
+            mesh = devices_mesh(cli.mesh)
 
-        def time_kernel(mk):
+        _frame_inputs = {}
+
+        def frame_inputs(t):
+            """Per-tile-size frame inputs: square-block ray order (tile-
+            gated stages see coherent image blocks, viewer.block_permutation)
+            + the structured inverse back to scan order, + mesh padding."""
+            if t in _frame_inputs:
+                return _frame_inputs[t]
+            perm, _ = block_permutation(w, h, t)
+            dirs_t = directions[perm] if perm is not None else directions
+            if mesh is not None:
+                from adanerf_tpu.parallel.render import frame_pad
+                n_pad = frame_pad(n_pix, t, cli.mesh)
+                dirs_t = np.concatenate(
+                    [dirs_t, np.zeros((n_pad - n_pix, 3), np.float32)])
+            dirs_pad, _, rot_pad = prep_inputs(jnp.asarray(dirs_t),
+                                               jnp.zeros(3), jnp.eye(3))
+            if mesh is not None:
+                from adanerf_tpu.parallel.render import place_frame_inputs
+                dirs_pad, _, rot_pad = place_frame_inputs(
+                    mesh, dirs_pad, jnp.zeros((1, 128), jnp.float32),
+                    rot_pad)
+            side = int(np.sqrt(t))
+            if perm is not None:
+                def unperm(o):  # block order -> scan order, zero gathers
+                    x = o[:n_pix, :4].reshape(h // side, w // side,
+                                              side, side, 4)
+                    return x.transpose(0, 2, 1, 3, 4).reshape(n_pix, 4)
+            else:
+                def unperm(o):
+                    return o[:n_pix, :4]
+            _frame_inputs[t] = (dirs_pad, rot_pad, unperm,
+                                perm is not None)
+            return _frame_inputs[t]
+
+        def time_kernel(mk, t):
+            dirs_pad, rot_pad, unperm, _ = frame_inputs(t)
             frame = jax.jit(lambda d, p, r: unperm(mk(d, p, r)))
 
             def mrun(n_frames):
@@ -326,19 +339,29 @@ def main():
 
             return mrun
 
-        for name, build in [
-                ("pallas-megakernel-v5d", lambda: make_megakernel_compact(
+        # v5d/v5 are the sparse-regime winners; v3 at tile=512 wins the
+        # at-cap regime (barbershop S=4 / pavillon S=16 viewer scenes) —
+        # timing all three machine-records whichever regime the export is
+        # in (round-4 tournament, BENCH.md)
+        for name, t, build in [
+                ("pallas-megakernel-v5d", tile,
+                 lambda: make_megakernel_compact(
                     rt.oracle_def, rt.nerf_def, scene, mk_cfg,
                     tile=tile, chunk=chunk, dynamic=True)(po, pn)),
-                ("pallas-megakernel-v5", lambda: make_megakernel_compact(
+                ("pallas-megakernel-v5", tile,
+                 lambda: make_megakernel_compact(
                     rt.oracle_def, rt.nerf_def, scene, mk_cfg,
-                    tile=tile, chunk=chunk)(po, pn))]:
+                    tile=tile, chunk=chunk)(po, pn)),
+                ("pallas-megakernel-v3-t512", 512,
+                 lambda: make_megakernel(
+                    rt.oracle_def, rt.nerf_def, scene, mk_cfg,
+                    tile=512)(po, pn))]:
             try:
                 mk = build()
                 if mesh is not None:
                     from adanerf_tpu.parallel.render import shard_megakernel
                     mk = shard_megakernel(mesh, mk)
-                mega_s = timed_min(time_kernel(mk), name)
+                mega_s = timed_min(time_kernel(mk, t), name)
                 print(f"# {name}: {mega_s * 1e3:.2f} ms/frame",
                       file=sys.stderr)
                 if per_frame_s is None or mega_s < per_frame_s:
@@ -348,8 +371,9 @@ def main():
                 print(f"# {name} skipped: {type(e).__name__}: {e}",
                       file=sys.stderr)
         detail["kernel"] = {"tile": tile, "chunk": chunk,
-                            "dense_path": True, "block_order": perm
-                            is not None, "mesh": cli.mesh}
+                            "dense_path": True,
+                            "block_order": frame_inputs(tile)[3],
+                            "mesh": cli.mesh}
     except Exception as e:
         print(f"# megakernel paths skipped: {type(e).__name__}: {e}",
               file=sys.stderr)
