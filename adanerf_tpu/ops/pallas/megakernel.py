@@ -518,22 +518,30 @@ def make_megakernel(oracle_def, nerf_def, scene, config, tile: int = 256,
         rgb_raw, alpha_raw = _nerf_mlp(nw, x_all, nerf_def,
                                        split=nerf_split)
 
-        # streaming front-to-back composite over the slot blocks, rgba
-        # lane-packed: one sigmoid per slot over a (T, 4) slice instead of
-        # four single-lane ones (identical values/order)
+        # streaming front-to-back composite over the slot blocks. All S
+        # slots' rgba ride ONE (T, 4S) sigmoid pass and the live/prob
+        # premultiplies ONE (T, S) planar pass (sigmoid and multiply are
+        # elementwise, so every value is bit-identical to the per-slot
+        # form); only the inherently sequential transmittance recurrence
+        # stays per-slot, in the exact reference order
+        # (nerf_raw_2_output_adaptive_mult_depth, mult_location=1).
+        rgba_all = jnp.concatenate(
+            [c for s in range(S)
+             for c in (rgb_raw[s * T:(s + 1) * T, 0:3],
+                       alpha_raw[s * T:(s + 1) * T, 0:1])], axis=1)
+        sig_all = jax.nn.sigmoid(rgba_all)                    # (T, 4S)
+        a_cols = jnp.concatenate(
+            [sig_all[:, 4 * s + 3:4 * s + 4] for s in range(S)], axis=1)
+        a_cols = a_cols * jnp.concatenate(lives, axis=1)
+        if acc_alpha:
+            a_cols = a_cols * jnp.concatenate(probs, axis=1)
         trans = jnp.ones((T, 1), jnp.float32)
         acc_rgb = jnp.zeros((T, 3), jnp.float32)
         for s in range(S):
-            rgba_s = jnp.concatenate(
-                [rgb_raw[s * T:(s + 1) * T, 0:3],
-                 alpha_raw[s * T:(s + 1) * T, 0:1]], axis=1)
-            sig = jax.nn.sigmoid(rgba_s)
-            sig_a = sig[:, 3:4] * lives[s]
-            if acc_alpha:
-                sig_a = sig_a * probs[s]
+            sig_a = a_cols[:, s:s + 1]
             w_s = sig_a * trans
             trans = trans * (1.0 - sig_a + 1e-10)
-            acc_rgb = acc_rgb + w_s * sig[:, 0:3]
+            acc_rgb = acc_rgb + w_s * sig_all[:, 4 * s:4 * s + 3]
 
         count = n_per.astype(jnp.float32)[:, None]
         pad = jnp.zeros((T, LANE - 4), jnp.float32)
