@@ -695,20 +695,32 @@ def make_megakernel_compact(oracle_def, nerf_def, scene, config,
         pad = jnp.zeros((T, LANE - 4), jnp.float32)
 
         def composite(n_slots):
+            # all n_slots' rgba through ONE sigmoid pass, hi/lo recombine as
+            # ONE add, live/prob premultiplies as ONE (T, n_slots) planar
+            # multiply each — elementwise, so bit-identical to the per-slot
+            # form; the transmittance recurrence stays sequential.
+            rgba_all = jnp.concatenate(
+                [acc_ref[:, pw * s:pw * s + 4] for s in range(n_slots)],
+                axis=1)
+            if use_split:
+                rgba_all = rgba_all + jnp.concatenate(
+                    [acc_ref[:, pw * s + 4:pw * s + 8]
+                     for s in range(n_slots)], axis=1)
+            sig_all = jax.nn.sigmoid(rgba_all)               # (T, 4*n)
+            slot_row = jax.lax.broadcasted_iota(
+                jnp.int32, (1, n_slots), 1).astype(jnp.float32)
+            a_cols = jnp.concatenate(
+                [sig_all[:, 4 * s + 3:4 * s + 4] for s in range(n_slots)],
+                axis=1) * (c > slot_row).astype(jnp.float32)
+            if acc_alpha:
+                a_cols = a_cols * jnp.concatenate(p_cols[:n_slots], axis=1)
             trans = jnp.ones((T, 1), jnp.float32)
             acc_rgb = jnp.zeros((T, 3), jnp.float32)
             for s in range(n_slots):
-                live = (c > jnp.float32(s)).astype(jnp.float32)
-                rgba_s = acc_ref[:, pw * s:pw * s + 4]
-                if use_split:
-                    rgba_s = rgba_s + acc_ref[:, pw * s + 4:pw * s + 8]
-                sig = jax.nn.sigmoid(rgba_s)                      # (T, 4)
-                sig_a = sig[:, 3:4] * live
-                if acc_alpha:
-                    sig_a = sig_a * p_cols[s]
+                sig_a = a_cols[:, s:s + 1]
                 w_s = sig_a * trans
                 trans = trans * (1.0 - sig_a + 1e-10)
-                acc_rgb = acc_rgb + w_s * sig[:, 0:3]
+                acc_rgb = acc_rgb + w_s * sig_all[:, 4 * s:4 * s + 3]
             out_ref[:] = jnp.concatenate([acc_rgb, c, pad], axis=1)
 
         if S > 4:

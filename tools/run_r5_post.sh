@@ -34,6 +34,12 @@ python bench.py --export-dir demo/trained_mscene_thr001_export 2>&1 \
     | tee demo/mscene_thr001_bench_clean.log
 python bench.py --mesh 1 2>&1 | tee demo/mscene_bench_mesh1.log
 
+# kernel-vs-fp32-pipeline quality agreement on the real chip (the pair-
+# harvest/planar/composite rewrites are bit-identical by construction and
+# interpret-tested; this is the on-device confirmation on a trained model)
+python tools/eval_megakernel.py demo/trained_mscene_export demo/mscene \
+    2>&1 | tee demo/eval_megakernel_r5.log
+
 python tools/bench_train.py 2>&1 | tee demo/bench_train_sweep_r5.log
 
 python tools/bench_all.py 2>&1 | tee demo/bench_all_r5.log
