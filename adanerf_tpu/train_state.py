@@ -582,7 +582,17 @@ class TrainState:
                     if os.path.exists(opt_path):
                         self.opt_states[i] = load_tree(opt_path, self.opt_states[i])
                 else:
-                    print(f"WARNING: pretrained weights not found in {path}")
+                    # Training an adaptive model from scratch silently (the
+                    # reference's behavior, train_data.py:358) wastes the
+                    # whole leg when the regex-derived teacher name doesn't
+                    # resolve (e.g. a blending override renames the
+                    # experiment); fail fast instead.
+                    raise FileNotFoundError(
+                        f"dense-pretrained weights for '{d.name}' not found "
+                        f"in {path} (suffix '{c.preTrainedSuffix}'); the "
+                        "teacher name is regex-derived from THIS run's "
+                        "config — check that name-bearing flags (loss "
+                        "blending, sample counts) match the dense run")
             elif c.preTrained and len(c.preTrained) > i \
                     and c.preTrained[i].lower() != "none":
                 wpath = os.path.join(c.preTrained[i], f"{d.name}.weights")
