@@ -56,13 +56,48 @@ def ensure_export(name, export_dir, src):
     return r.returncode == 0 and os.path.isdir(export_dir)
 
 
-def bench_one(export_dir, repeats, mesh=0):
+def tunnel_healthy(max_readback_s=20.0, retries=20, wait_s=90.0):
+    """Gate each workload on a quick device readback in a fresh process.
+
+    The axon tunnel has degraded windows (one post-queue batch recorded a
+    159 s init readback and 37x-inflated frames, then recovered minutes
+    later); benching through one produces garbage rows and a sweep with no
+    per-workload timeout can block for hours. Probe, and wait out bad
+    windows up to ``retries * wait_s``."""
+    code = ("import jax, jax.numpy as jnp, time; jax.devices(); "
+            "t0=time.time(); float(jnp.zeros(())); "
+            "print(f'readback {time.time()-t0:.1f}s')")
+    for attempt in range(retries):
+        t0 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=max(600.0, max_readback_s * 30),
+                               capture_output=True, text=True)
+            ok = r.returncode == 0 and time.time() - t0 < max_readback_s
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return True
+        print(f"[bench_all] tunnel degraded (probe {time.time()-t0:.0f}s), "
+              f"waiting {wait_s:.0f}s ({attempt + 1}/{retries})", flush=True)
+        time.sleep(wait_s)
+    return False
+
+
+def bench_one(export_dir, repeats, mesh=0, timeout_s=1200.0):
     cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
            "--export-dir", export_dir, "--repeats", str(repeats)]
     if mesh:
         cmd += ["--mesh", str(mesh)]
     t0 = time.time()
-    r = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired as e:
+        return {"rc": "timeout", "wall_s": round(time.time() - t0, 1),
+                "stderr_tail": ((e.stderr or b"").decode(errors="replace")
+                                if isinstance(e.stderr, bytes)
+                                else (e.stderr or ""))[-400:]}
     row = {"rc": r.returncode, "wall_s": round(time.time() - t0, 1)}
     for line in r.stdout.splitlines():
         line = line.strip()
@@ -105,6 +140,13 @@ def main():
         if not ensure_export(name, export_dir, src):
             print(f"[bench_all] {name}: export missing, skipped", flush=True)
             out["rows"][name] = {"skipped": "export missing"}
+            continue
+        if not tunnel_healthy():
+            print(f"[bench_all] {name}: tunnel never recovered, marking",
+                  flush=True)
+            out["rows"][name] = {"skipped": "tunnel degraded"}
+            with open(args.out, "w") as f:
+                json.dump(out, f, indent=1)
             continue
         print(f"[bench_all] {name}: benching {export_dir}", flush=True)
         row = bench_one(export_dir, args.repeats)
